@@ -96,6 +96,27 @@ def main():
             shutil.copy2(
                 os.path.join(ds, sub, name), os.path.join(out, dst, name)
             )
+    # Lossless rasterization goldens: run the reference keypoint2img module
+    # directly over a subset of the emitted JSONs and store PNGs.
+    import cv2
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_keypoint2img", os.path.join(REF, "keypoint2img.py")
+    )
+    ref_k2i = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_k2i)
+    for src_sub, dst in [("pose", "png"), ("pose_smooth", "png_smooth")]:
+        os.makedirs(os.path.join(out, dst))
+        names = sorted(os.listdir(os.path.join(out, src_sub)))
+        for name in names[::8]:
+            img = ref_k2i.read_keypoints(
+                os.path.join(out, src_sub, name), (512, 384)
+            )
+            stem = os.path.splitext(name)[0]
+            cv2.imwrite(os.path.join(out, dst, stem + ".png"), img)
+
     shutil.rmtree(os.path.dirname(SANDBOX), ignore_errors=True)
     print(f"goldens written to {out}")
 
