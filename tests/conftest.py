@@ -7,12 +7,26 @@ had (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize (terminal TPU tunnel) force-selects its backend at
+# interpreter start, overriding JAX_PLATFORMS. Undo it: tests always run on
+# the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pytest  # noqa: E402
 

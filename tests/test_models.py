@@ -1,0 +1,113 @@
+"""Shape/correctness tests for the renderer model family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2video_tpu.models import (
+    CompositeGenerator,
+    MultiscaleDiscriminator,
+    face_crop,
+)
+from text2video_tpu.models.vgg import VGG19Features, init_params
+from text2video_tpu.ops.warp import flow_warp
+
+H, W = 64, 64
+
+
+def test_flow_warp_identity():
+    img = np.random.RandomState(0).rand(2, 16, 24, 3).astype(np.float32)
+    out = flow_warp(jnp.asarray(img), jnp.zeros((2, 16, 24, 2)))
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+
+def test_flow_warp_shift():
+    # Integer flow of +1 in x samples the pixel one column to the right.
+    img = np.arange(2 * 8 * 8 * 1, dtype=np.float32).reshape(2, 8, 8, 1)
+    flow = np.zeros((2, 8, 8, 2), np.float32)
+    flow[..., 0] = 1.0
+    out = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(out[:, :, :-1], img[:, :, 1:], atol=1e-5)
+    # Border column clamps.
+    np.testing.assert_allclose(out[:, :, -1], img[:, :, -1], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def gen_and_params():
+    gen = CompositeGenerator(base_ch=8, n_blocks=2, dtype=jnp.float32)
+    labels = jnp.zeros((2, H, W, 9))
+    prev = jnp.zeros((2, H, W, 6))
+    has_prev = jnp.ones((2,))
+    params = gen.init(jax.random.PRNGKey(0), labels, prev, has_prev)
+    return gen, params
+
+
+def test_generator_shapes(gen_and_params):
+    gen, params = gen_and_params
+    labels = jnp.ones((2, H, W, 9)) * 0.5
+    prev = jnp.ones((2, H, W, 6)) * 0.1
+    frame, flow, mask = jax.jit(gen.apply)(params, labels, prev, jnp.ones((2,)))
+    assert frame.shape == (2, H, W, 3)
+    assert flow.shape == (2, H, W, 2)
+    assert mask.shape == (2, H, W, 1)
+    assert np.all(np.abs(np.asarray(frame)) <= 1.0)
+
+
+def test_generator_first_frame_ignores_prev(gen_and_params):
+    """has_prev=0 must make the output independent of prev_imgs content."""
+    gen, params = gen_and_params
+    labels = jnp.ones((2, H, W, 9)) * 0.3
+    z = jnp.zeros((2,))
+    f1, _, m1 = gen.apply(params, labels, jnp.zeros((2, H, W, 6)), z)
+    f2, _, m2 = gen.apply(params, labels, jnp.zeros((2, H, W, 6)), z)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), 1.0, atol=1e-6)
+
+
+def test_generator_local_enhancer():
+    gen = CompositeGenerator(
+        base_ch=8, n_blocks=1, n_local_enhancers=1, n_local_blocks=1,
+        dtype=jnp.float32,
+    )
+    labels = jnp.zeros((1, H, W, 3))
+    prev = jnp.zeros((1, H, W, 3))
+    params = gen.init(jax.random.PRNGKey(0), labels, prev, jnp.ones((1,)))
+    frame, flow, mask = gen.apply(params, labels, prev, jnp.ones((1,)))
+    assert frame.shape == (1, H, W, 3)
+
+
+def test_multiscale_discriminator():
+    d = MultiscaleDiscriminator(num_d=2, base_ch=8, dtype=jnp.float32)
+    x = jnp.zeros((2, H, W, 6))
+    params = d.init(jax.random.PRNGKey(0), x)
+    outs = d.apply(params, x)
+    assert len(outs) == 2
+    logits0, feats0 = outs[0]
+    assert logits0.shape[0] == 2 and logits0.shape[-1] == 1
+    assert len(feats0) == 4
+    # Second scale sees a 2x-downsampled image -> smaller patch grid.
+    assert outs[1][0].shape[1] < logits0.shape[1]
+
+
+def test_face_crop():
+    imgs = jnp.arange(2 * 32 * 32 * 3, dtype=jnp.float32).reshape(2, 32, 32, 3)
+    centers = jnp.array([[16.0, 16.0], [0.0, 0.0]])
+    crops = face_crop(imgs, centers, 8)
+    assert crops.shape == (2, 8, 8, 3)
+    np.testing.assert_allclose(
+        np.asarray(crops[0]), np.asarray(imgs[0, 12:20, 12:20]), atol=0
+    )
+    # Near-border centre clamps into the image.
+    np.testing.assert_allclose(
+        np.asarray(crops[1]), np.asarray(imgs[1, 0:8, 0:8]), atol=0
+    )
+
+
+def test_vgg_features():
+    model = VGG19Features(dtype=jnp.float32)
+    params = init_params(dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    feats = model.apply({"params": params}, x)
+    assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4]
+    assert [f.shape[-1] for f in feats] == [64, 128, 256, 512, 512]

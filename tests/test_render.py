@@ -1,0 +1,45 @@
+"""Autoregressive render engine tests (tiny model, CPU mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from text2video_tpu.config import RenderConfig
+from text2video_tpu.render import Renderer
+
+
+def _tiny_renderer(**kw):
+    return Renderer.create(
+        height=32, width=32, base_ch=8, n_blocks=1, dtype=jnp.float32, **kw
+    )
+
+
+def test_render_shapes_and_padding():
+    r = _tiny_renderer()
+    r.time_bucket = 8
+    labels = np.random.RandomState(0).randint(
+        0, 256, size=(5, 32, 32, 3), dtype=np.uint8
+    )
+    frames = r.render(labels)
+    assert frames.shape == (5, 32, 32, 3)
+    assert frames.dtype == np.uint8
+
+
+def test_render_autoregressive_consistency():
+    """Padding frames must not change the un-padded prefix (causality)."""
+    r = _tiny_renderer()
+    r.time_bucket = 4
+    rng = np.random.RandomState(1)
+    labels8 = rng.randint(0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    f8 = r.render(labels8)
+    f4 = r.render(labels8[:4])
+    np.testing.assert_allclose(
+        f8[:4].astype(np.int32), f4.astype(np.int32), atol=1
+    )
+
+
+def test_render_max_frames_cap():
+    r = _tiny_renderer(config=RenderConfig(max_frames=6))
+    r.time_bucket = 2
+    labels = np.zeros((10, 32, 32, 3), np.uint8)
+    frames = r.render(labels)
+    assert frames.shape[0] == 6

@@ -1,0 +1,99 @@
+"""Train-step smoke tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2video_tpu.parallel.mesh import make_mesh, param_specs
+from text2video_tpu.train.trainer import (
+    TrainConfig,
+    create_trainer_state,
+    make_train_step,
+)
+
+CFG = TrainConfig(
+    height=32,
+    width=32,
+    face_crop=8,
+    base_ch=8,
+    n_blocks=1,
+    d_base_ch=8,
+    use_vgg=False,
+    dtype=jnp.float32,
+)
+
+
+def _batch(b=2, t=4):
+    rng = np.random.RandomState(0)
+    return {
+        "labels": rng.rand(b, t, 32, 32, 3).astype(np.float32) * 2 - 1,
+        "reals": rng.rand(b, t, 32, 32, 3).astype(np.float32) * 2 - 1,
+        "face_centers": np.full((b, t, 2), 16.0, np.float32),
+    }
+
+
+def test_train_step_updates_params_and_losses_finite():
+    state = create_trainer_state(CFG)
+    step = jax.jit(make_train_step(CFG))
+    batch = _batch()
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # Both G and D parameters must have moved.
+    g_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+            state.g_params,
+            new_state.g_params,
+        ),
+    )
+    d_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+            state.d_params,
+            new_state.d_params,
+        ),
+    )
+    assert g_delta > 0 and d_delta > 0
+
+    # Second step runs off the updated state (opt-state pytree round-trips).
+    new_state2, _ = step(new_state, batch)
+    assert int(new_state2.step) == 2
+
+
+def test_train_step_sharded_matches_single_device():
+    """DP over the 8-device CPU mesh must match the unsharded step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = create_trainer_state(CFG)
+    step = make_train_step(CFG)
+    batch = _batch(b=8)
+
+    _, metrics_ref = jax.jit(step)(state, batch)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    specs_state = jax.tree.map(lambda _: P(), state)
+    specs_state = specs_state.replace(
+        g_params=param_specs(state.g_params, mesh),
+        d_params=param_specs(state.d_params, mesh),
+    )
+
+    def shard(specs):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    state_s = jax.device_put(state, shard(specs_state))
+    batch_s = jax.device_put(
+        batch, jax.tree.map(lambda _: NamedSharding(mesh, P("data")), batch)
+    )
+    _, metrics_sh = jax.jit(step)(state_s, batch_s)
+    for k in metrics_ref:
+        np.testing.assert_allclose(
+            float(metrics_ref[k]), float(metrics_sh[k]), rtol=2e-3, atol=2e-5
+        )

@@ -1,0 +1,162 @@
+"""Composite pose2frame generator (vid2vid-equivalent, TPU-first).
+
+Capability target: the reference's neural renderer — a modified NVIDIA
+vid2vid fork driven as ``python test.py --dataset_mode pose --input_nc 3
+--loadSize 512 --openpose_only --no_first_img`` (reference:
+text2video_audio.sh:42, README.md:169-177; SURVEY.md §2.3). That design is
+a *composite* sequential generator: from the current pose-label map, a few
+previous label maps, and the previously generated frames, predict
+
+  * a hallucinated frame ``h``,
+  * a dense flow ``w`` from the last generated frame to the current one,
+  * an occlusion mask ``m``,
+
+and output ``o = m * h + (1 - m) * warp(prev, w)``. The first frame of an
+utterance has no previous frame (``--no_first_img``), so the mask is
+forced open.
+
+This implementation is a fresh TPU-native design, not a port:
+
+  * NHWC + bfloat16; instance-norm stats in float32.
+  * One traced program per step; the autoregressive loop lives in
+    ``lax.scan`` (see ``render.py``), so an utterance compiles once.
+  * ``has_prev`` is a traced [B] weight rather than a Python branch —
+    first-frame handling costs one multiply instead of a recompile.
+  * Upsampling = resize + conv; all convs reflect-padded VALID.
+  * Coarse-to-fine: a global trunk at 1/2**n_local resolution plus
+    optional local-enhancer stages (pix2pixHD-style) for higher
+    resolutions; heads sit on the finest stage.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from text2video_tpu.models.layers import (
+    ConvBlock,
+    InstanceNorm,
+    ResBlock,
+    Upsample,
+    downscale2x,
+    reflect_pad,
+)
+from text2video_tpu.ops.warp import flow_warp
+
+Dtype = Any
+
+
+class GlobalTrunk(nn.Module):
+    """Label+image encoders -> resblocks -> decoder. Returns the pre-head
+    feature map at input resolution."""
+
+    base_ch: int = 64
+    n_downsample: int = 3
+    n_blocks: int = 9
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, labels: jax.Array, prev_imgs: jax.Array) -> jax.Array:
+        ch = self.base_ch
+        # Two encoder branches: pose labels and previously generated frames.
+        # Their features are summed at the bottleneck (keeps the trunk width
+        # constant and lets XLA fuse the add into the first resblock).
+        xl = ConvBlock(ch, kernel=7, dtype=self.dtype)(labels)
+        xi = ConvBlock(ch, kernel=7, dtype=self.dtype)(prev_imgs)
+        for i in range(self.n_downsample):
+            ch *= 2
+            xl = ConvBlock(ch, stride=2, dtype=self.dtype)(xl)
+            xi = ConvBlock(ch, stride=2, dtype=self.dtype)(xi)
+        x = xl + xi
+        for _ in range(self.n_blocks):
+            x = ResBlock(ch, dtype=self.dtype)(x)
+        for i in range(self.n_downsample):
+            ch //= 2
+            x = Upsample(ch, dtype=self.dtype)(x)
+        return x  # [B, H, W, base_ch]
+
+
+class CompositeGenerator(nn.Module):
+    """Flow-warped composite frame generator.
+
+    Args (shapes):
+      labels: [B, H, W, 3 * n_label_ctx] — pose label maps, current first.
+      prev_imgs: [B, H, W, 3 * n_prev] — previously generated frames,
+        most recent first; zeros on the first step.
+      has_prev: [B] float in {0, 1} — 0 forces pure hallucination
+        (first frame of an utterance), 1 enables the warp composite.
+
+    Returns:
+      (frame, flow, mask): [B,H,W,3] in [-1,1], [B,H,W,2] pixels,
+      [B,H,W,1] in [0,1] (after first-frame forcing).
+    """
+
+    base_ch: int = 64
+    n_downsample: int = 3
+    n_blocks: int = 9
+    n_local_enhancers: int = 0
+    n_local_blocks: int = 3
+    flow_scale: float = 10.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        labels: jax.Array,
+        prev_imgs: jax.Array,
+        has_prev: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        dt = self.dtype
+        labels = labels.astype(dt)
+        prev_imgs = prev_imgs.astype(dt)
+
+        # Coarse-to-fine: run the global trunk at reduced resolution, then
+        # refine with local enhancers at successively finer scales.
+        pyramid_l = [labels]
+        pyramid_i = [prev_imgs]
+        for _ in range(self.n_local_enhancers):
+            pyramid_l.append(downscale2x(pyramid_l[-1]))
+            pyramid_i.append(downscale2x(pyramid_i[-1]))
+
+        feat = GlobalTrunk(
+            base_ch=self.base_ch,
+            n_downsample=self.n_downsample,
+            n_blocks=self.n_blocks,
+            dtype=dt,
+        )(pyramid_l[-1], pyramid_i[-1])
+
+        for lvl in range(self.n_local_enhancers - 1, -1, -1):
+            ch = self.base_ch // 2
+            y = jnp.concatenate([pyramid_l[lvl], pyramid_i[lvl]], axis=-1)
+            y = ConvBlock(ch, kernel=7, dtype=dt)(y)
+            y = ConvBlock(2 * ch, stride=2, dtype=dt)(y)
+            b, h, w, c = feat.shape
+            feat = jax.image.resize(feat, (b, h, w, c), method="nearest")
+            y = y + nn.Conv(2 * ch, (3, 3), padding="SAME", dtype=dt,
+                            param_dtype=jnp.float32)(feat)
+            for _ in range(self.n_local_blocks):
+                y = ResBlock(2 * ch, dtype=dt)(y)
+            feat = Upsample(ch, dtype=dt)(y)
+
+        # Heads. 7x7 reflect-padded convs from the shared feature.
+        def head(out_ch: int, name: str) -> jax.Array:
+            x = reflect_pad(feat, 3)
+            return nn.Conv(
+                out_ch, (7, 7), padding="VALID", dtype=dt,
+                param_dtype=jnp.float32, name=name,
+            )(x)
+
+        raw = jnp.tanh(head(3, "img_head").astype(jnp.float32))
+        flow = head(2, "flow_head").astype(jnp.float32) * self.flow_scale
+        mask = nn.sigmoid(head(1, "mask_head").astype(jnp.float32))
+
+        prev = prev_imgs[..., :3].astype(jnp.float32)
+        warped = flow_warp(prev, flow)
+        # First frame: no previous image to warp — force the mask open.
+        hp = has_prev.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        mask = mask * hp + (1.0 - hp)
+        frame = mask * raw + (1.0 - mask) * warped
+        return frame, flow, mask

@@ -1,0 +1,79 @@
+"""Dense bilinear flow warping — the core of the composite renderer.
+
+The reference's neural renderer (the modified NVIDIA vid2vid fork,
+SURVEY.md §2.3; invoked at text2video_audio.sh:42) composes each output
+frame as ``mask * hallucinated + (1 - mask) * warp(prev_frame, flow)``.
+Its torch implementation uses ``grid_sample``. On TPU we express the warp
+as four gathers + a weighted blend: gathers lower onto XLA's dynamic-slice
+/ gather HLOs which tile cleanly, and the blend fuses into neighbouring
+elementwise work. Layout is NHWC throughout (channel-last keeps the C axis
+on the 128-wide lane dimension).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Warp ``img`` by ``flow`` with bilinear sampling.
+
+    Args:
+      img: [B, H, W, C] source image (any float dtype).
+      flow: [B, H, W, 2] pixel-space displacement; ``flow[..., 0]`` is dx
+        (columns), ``flow[..., 1]`` is dy (rows). Output pixel (y, x)
+        samples ``img`` at (y + dy, x + dx), clamped to the border
+        (border-replicate, matching grid_sample(padding_mode='border')).
+
+    Returns:
+      [B, H, W, C] warped image in ``img``'s dtype.
+    """
+    b, h, w, c = img.shape
+    compute_dtype = jnp.float32
+
+    yy = jnp.arange(h, dtype=compute_dtype)[:, None]
+    xx = jnp.arange(w, dtype=compute_dtype)[None, :]
+    sx = xx + flow[..., 0].astype(compute_dtype)  # [B,H,W]
+    sy = yy + flow[..., 1].astype(compute_dtype)
+
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None]  # [B,H,W,1]
+    wy = (sy - y0)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = img.reshape(b, h * w, c)
+
+    def take(yi, xi):
+        idx = (yi * w + xi).reshape(b, h * w, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x1i)
+    v10 = take(y1i, x0i)
+    v11 = take(y1i, x1i)
+
+    wx = wx.astype(img.dtype)
+    wy = wy.astype(img.dtype)
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+def flow_tv(flow: jax.Array) -> jax.Array:
+    """Total-variation smoothness penalty on a [B, H, W, 2] flow field.
+
+    Mean absolute forward difference along both spatial axes — the flow
+    regulariser of the composite objective.
+    """
+    dy = jnp.abs(flow[:, 1:, :, :] - flow[:, :-1, :, :])
+    dx = jnp.abs(flow[:, :, 1:, :] - flow[:, :, :-1, :])
+    return dy.mean() + dx.mean()

@@ -1,0 +1,285 @@
+"""The sharded GAN train step.
+
+One optimisation step consumes a clip batch — ``labels``/``reals`` of
+shape [B, T, H, W, 3] plus per-frame face centres [B, T, 2] — mirroring
+the reference's 12-frame clip sampling (``--n_frames_total 12``,
+README.md:173). The generator unrolls autoregressively over T inside
+``lax.scan`` (gradients flow through the scan); discriminators score each
+frame, a temporal discriminator scores stacked triples, and a face
+discriminator scores crops around the mouth centre (``--add_face_disc``).
+
+G and D updates are computed in the same jitted program from one forward
+pass (fakes are re-used, stop-gradient'd for the D loss). Under pjit the
+batch axis shards over the mesh "data" axis; gradient all-reduces ride
+ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from text2video_tpu.models import losses as L
+from text2video_tpu.models.discriminator import (
+    MultiscaleDiscriminator,
+    face_crop,
+)
+from text2video_tpu.models.generator import CompositeGenerator
+from text2video_tpu.models.vgg import VGG19Features
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    height: int = 384
+    width: int = 512
+    n_frames_ctx: int = 3  # label maps fed to G (current + 2 previous)
+    use_prev_frames: int = 2
+    temporal_window: int = 3  # frames stacked for the temporal D
+    face_crop: int = 96
+    base_ch: int = 64
+    n_blocks: int = 9
+    d_base_ch: int = 64
+    num_d: int = 2
+    lr: float = 2e-4
+    beta1: float = 0.5
+    lambda_fm: float = 10.0
+    lambda_vgg: float = 10.0
+    lambda_flow: float = 10.0
+    lambda_face: float = 1.0
+    lambda_temp: float = 1.0
+    use_vgg: bool = True
+    dtype: Any = jnp.bfloat16
+
+
+class TrainerState(flax.struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    d_params: Any  # {"image": ..., "temporal": ..., "face": ...}
+    vgg_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+def _models(cfg: TrainConfig):
+    gen = CompositeGenerator(
+        base_ch=cfg.base_ch, n_blocks=cfg.n_blocks, dtype=cfg.dtype
+    )
+    d_image = MultiscaleDiscriminator(
+        num_d=cfg.num_d, base_ch=cfg.d_base_ch, dtype=cfg.dtype
+    )
+    d_temporal = MultiscaleDiscriminator(
+        num_d=1, base_ch=cfg.d_base_ch, dtype=cfg.dtype
+    )
+    d_face = MultiscaleDiscriminator(
+        num_d=1, base_ch=cfg.d_base_ch // 2, dtype=cfg.dtype
+    )
+    vgg = VGG19Features(dtype=cfg.dtype) if cfg.use_vgg else None
+    return gen, d_image, d_temporal, d_face, vgg
+
+
+def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.lr, b1=cfg.beta1, b2=0.999)
+
+
+def create_trainer_state(
+    cfg: TrainConfig, seed: int = 0, vgg_params: Optional[Any] = None
+) -> TrainerState:
+    gen, d_image, d_temporal, d_face, vgg = _models(cfg)
+    k = jax.random.PRNGKey(seed)
+    kg, ki, kt, kf, kv = jax.random.split(k, 5)
+    h, w = cfg.height, cfg.width
+    labels = jnp.zeros((1, h, w, 3 * cfg.n_frames_ctx))
+    prev = jnp.zeros((1, h, w, 3 * cfg.use_prev_frames))
+    g_params = gen.init(kg, labels, prev, jnp.ones((1,)))
+    d_params = {
+        "image": d_image.init(ki, jnp.zeros((1, h, w, 6))),
+        "temporal": d_temporal.init(
+            kt, jnp.zeros((1, h, w, 3 * cfg.temporal_window))
+        ),
+        "face": d_face.init(
+            kf, jnp.zeros((1, cfg.face_crop, cfg.face_crop, 6))
+        ),
+    }
+    if cfg.use_vgg and vgg_params is None:
+        vgg_params = {
+            "params": vgg.init(kv, jnp.zeros((1, 64, 64, 3)))["params"]
+        }
+    opt = _optimizer(cfg)
+    return TrainerState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        vgg_params=vgg_params,
+        g_opt=opt.init(g_params),
+        d_opt=opt.init(d_params),
+    )
+
+
+def _generate_clip(gen, cfg: TrainConfig, g_params, labels, reals):
+    """Unroll G over the clip. labels/reals: [B, T, H, W, 3] in [-1, 1].
+
+    Matches inference conditioning (render.py): previous *generated*
+    frames in the carry, previous labels as context. Returns fakes
+    [B, T, H, W, 3] float32 and flows [B, T, H, W, 2].
+    """
+    b, t, h, w, _ = labels.shape
+    dt = jnp.float32
+    prev_imgs = jnp.zeros((b, h, w, 3 * cfg.use_prev_frames), dt)
+    prev_labels = jnp.zeros((b, h, w, 3 * (cfg.n_frames_ctx - 1)), dt)
+
+    labels_t = jnp.moveaxis(labels.astype(dt), 1, 0)
+
+    def step_fn(carry, lab):
+        prev_i, prev_l, step = carry
+        ctx = jnp.concatenate([lab, prev_l], axis=-1)
+        has_prev = jnp.broadcast_to((step > 0).astype(dt), (b,))
+        frame, flow, mask = gen.apply(g_params, ctx, prev_i, has_prev)
+        frame = frame.astype(dt)
+        new_prev_i = jnp.concatenate([frame, prev_i[..., :-3]], axis=-1)
+        new_prev_l = jnp.concatenate([lab, prev_l[..., :-3]], axis=-1)
+        return (new_prev_i, new_prev_l, step + 1), (frame, flow)
+
+    _, (frames, flows) = jax.lax.scan(
+        step_fn, (prev_imgs, prev_labels, jnp.zeros((), jnp.int32)), labels_t
+    )
+    return jnp.moveaxis(frames, 0, 1), jnp.moveaxis(flows, 0, 1)
+
+
+def _flatten_bt(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _temporal_stack(x, window: int):
+    """[B, T, H, W, C] -> [B*(T-window+1), H, W, C*window]."""
+    b, t, h, w, c = x.shape
+    slices = [x[:, i : t - window + 1 + i] for i in range(window)]
+    stacked = jnp.concatenate(slices, axis=-1)
+    return stacked.reshape((-1, h, w, c * window))
+
+
+def make_train_step(cfg: TrainConfig):
+    """Returns step(state, batch) -> (state, metrics), ready for jit/pjit.
+
+    batch: {"labels": [B,T,H,W,3] float in [-1,1],
+            "reals":  [B,T,H,W,3] float in [-1,1],
+            "face_centers": [B,T,2] float pixels}
+    """
+    gen, d_image, d_temporal, d_face, vgg = _models(cfg)
+    opt = _optimizer(cfg)
+
+    def d_apply_pairs(d_params, labels_f, frames_f):
+        return d_image.apply(
+            d_params["image"],
+            jnp.concatenate([labels_f, frames_f], axis=-1),
+        )
+
+    def forward_losses(g_params, d_params, vgg_params, batch):
+        labels, reals = batch["labels"], batch["reals"]
+        centers = batch["face_centers"]
+        fakes, flows = _generate_clip(gen, cfg, g_params, labels, reals)
+        reals_f32 = reals.astype(jnp.float32)
+
+        labels_f = _flatten_bt(labels).astype(jnp.float32)
+        fakes_f = _flatten_bt(fakes)
+        reals_flat = _flatten_bt(reals_f32)
+        centers_f = _flatten_bt(centers)
+
+        # Image D on (label, frame) pairs.
+        d_fake = d_apply_pairs(d_params, labels_f, fakes_f)
+        d_real = d_apply_pairs(d_params, labels_f, reals_flat)
+
+        # Temporal D on stacked consecutive frames.
+        t_fake = d_temporal.apply(
+            d_params["temporal"], _temporal_stack(fakes, cfg.temporal_window)
+        )
+        t_real = d_temporal.apply(
+            d_params["temporal"],
+            _temporal_stack(reals_f32, cfg.temporal_window),
+        )
+
+        # Face D on (label-crop, frame-crop) pairs around the mouth centre.
+        lab_crop = face_crop(labels_f, centers_f, cfg.face_crop)
+        fake_crop = face_crop(fakes_f, centers_f, cfg.face_crop)
+        real_crop = face_crop(reals_flat, centers_f, cfg.face_crop)
+        f_fake = d_face.apply(
+            d_params["face"], jnp.concatenate([lab_crop, fake_crop], -1)
+        )
+        f_real = d_face.apply(
+            d_params["face"], jnp.concatenate([lab_crop, real_crop], -1)
+        )
+
+        # Generator objective.
+        g_adv = (
+            L.lsgan_g(d_fake)
+            + cfg.lambda_temp * L.lsgan_g(t_fake)
+            + cfg.lambda_face * L.lsgan_g(f_fake)
+        )
+        g_fm = L.feature_matching(d_real, d_fake)
+        g_vgg = jnp.zeros(())
+        if cfg.use_vgg:
+            vf = vgg.apply(vgg_params, fakes_f)
+            vr = vgg.apply(vgg_params, reals_flat)
+            g_vgg = L.perceptual(vf, vr)
+        g_flow = L.flow_loss(
+            _flatten_bt(flows[:, 1:]),
+            _flatten_bt(reals_f32[:, :-1]),
+            _flatten_bt(reals_f32[:, 1:]),
+        )
+        g_loss = (
+            g_adv
+            + cfg.lambda_fm * g_fm
+            + cfg.lambda_vgg * g_vgg
+            + cfg.lambda_flow * g_flow
+        )
+
+        # Discriminator objective (fakes stopped).
+        d_loss = (
+            L.lsgan_d(d_real, jax.tree.map(jax.lax.stop_gradient, d_fake))
+            + L.lsgan_d(t_real, jax.tree.map(jax.lax.stop_gradient, t_fake))
+            + L.lsgan_d(f_real, jax.tree.map(jax.lax.stop_gradient, f_fake))
+        )
+        metrics = {
+            "g_loss": g_loss,
+            "d_loss": d_loss,
+            "g_adv": g_adv,
+            "g_fm": g_fm,
+            "g_vgg": g_vgg,
+            "g_flow": g_flow,
+        }
+        return g_loss, d_loss, metrics
+
+    def step(state: TrainerState, batch) -> Tuple[TrainerState, Dict]:
+        def g_objective(g_params):
+            g_loss, _, metrics = forward_losses(
+                g_params, state.d_params, state.vgg_params, batch
+            )
+            return g_loss, metrics
+
+        def d_objective(d_params):
+            _, d_loss, _ = forward_losses(
+                state.g_params, d_params, state.vgg_params, batch
+            )
+            return d_loss
+
+        (g_loss, metrics), g_grads = jax.value_and_grad(
+            g_objective, has_aux=True
+        )(state.g_params)
+        d_loss, d_grads = jax.value_and_grad(d_objective)(state.d_params)
+
+        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+        d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=optax.apply_updates(state.g_params, g_updates),
+            d_params=optax.apply_updates(state.d_params, d_updates),
+            g_opt=g_opt,
+            d_opt=d_opt,
+        )
+        return new_state, metrics
+
+    return step
