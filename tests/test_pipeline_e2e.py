@@ -1,0 +1,123 @@
+"""End-to-end pipeline tests (skeleton renderer, real reference assets)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, requires_reference_data
+
+
+@pytest.fixture(scope="module")
+def aligner():
+    from text2video_tpu.frontend.align_english import (
+        EnglishAligner,
+        PronouncingDict,
+        train_acoustic_model,
+    )
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    ref = REFERENCE_DIR
+    pdict = PronouncingDict.load(f"{ref}/aligner/english/dict")
+
+    def words_of(path):
+        return " ".join(
+            p[2]
+            for p in (l.split() for l in open(path))
+            if len(p) == 3 and p[2] != "SIL"
+        )
+
+    utts = [
+        (
+            load_wav_for_alignment(f"{ref}/input_audio/fadg0/Dotheymake.wav"),
+            words_of(f"{ref}/input_timestamp/fadg0/words/Dotheymake.txt"),
+        ),
+        (
+            load_wav_for_alignment(
+                f"{ref}/*phoneme_data/VidTIMIT/fadg0/audio/sa1.wav"
+            ),
+            "She had your dark suit in greasy wash water all year",
+        ),
+    ]
+    model = train_acoustic_model(utts, pdict)
+    return EnglishAligner(model, pdict)
+
+
+@requires_reference_data
+def test_run_audio_end_to_end(aligner, tmp_path):
+    from text2video_tpu.config import PipelineConfig, get_profile
+    from text2video_tpu.pipeline import Text2VideoPipeline
+
+    config = PipelineConfig(
+        person=get_profile("fadg0"),
+        out_dir=str(tmp_path),
+        emit_intermediates=True,
+    )
+    pipe = Text2VideoPipeline(config, aligner=aligner)
+    run = pipe.run_audio(
+        "Do they make it",
+        f"{REFERENCE_DIR}/input_audio/fadg0/Dotheymake.wav",
+        keep_arrays=True,
+    )
+    assert run.num_frames > 10
+    assert run.label_maps.shape[1:] == (384, 512, 3)
+    # Skeleton passthrough: non-trivial drawing on the canvas.
+    assert (run.label_maps > 0).mean() > 0.001
+    for f in run.files:
+        assert os.path.exists(f) and os.path.getsize(f) > 0
+    exts = {f.rsplit(".", 1)[-1] for f in run.files}
+    assert {"mp4", "wav"} <= exts
+
+    inter = os.path.join(str(tmp_path), "fadg0", run.name + "_intermediates")
+    assert os.path.isdir(os.path.join(inter, "pose_smooth"))
+    assert os.path.exists(os.path.join(inter, "timestamps.txt"))
+    assert os.path.exists(os.path.join(inter, "words.txt"))
+
+
+@requires_reference_data
+def test_run_tts_formant_fallback(aligner, tmp_path):
+    from text2video_tpu.config import PipelineConfig, get_profile
+    from text2video_tpu.pipeline import Text2VideoPipeline
+
+    config = PipelineConfig(
+        person=get_profile("fadg0"), out_dir=str(tmp_path)
+    )
+    pipe = Text2VideoPipeline(config, aligner=aligner)
+    run = pipe.run_tts("she had a suit", "f")
+    assert run.num_frames > 5
+    assert any(f.endswith(".mp4") for f in run.files)
+
+
+@requires_reference_data
+def test_cli_train_and_audio(tmp_path):
+    from text2video_tpu.cli import main
+
+    ref = REFERENCE_DIR
+    model_path = str(tmp_path / "aligner" / "fadg0.am")
+    rc = main(
+        [
+            "train-aligner",
+            "--out",
+            model_path,
+            f"{ref}/input_audio/fadg0/Dotheymake.wav",
+            "Do they make it",
+        ]
+    )
+    assert rc == 0 and os.path.exists(model_path)
+
+    rc = main(
+        [
+            "audio",
+            "Do they make it",
+            "fadg0",
+            "--out",
+            str(tmp_path),
+            "--aligner-model",
+            model_path,
+            "--wav",
+            f"{ref}/input_audio/fadg0/Dotheymake.wav",
+        ]
+    )
+    assert rc == 0
+    out_dir = os.path.join(str(tmp_path), "fadg0")
+    assert any(f.endswith(".mp4") for f in os.listdir(out_dir))

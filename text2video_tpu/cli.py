@@ -1,0 +1,202 @@
+"""Command-line interface: the reference's three shell entry points + tools.
+
+Mirrors (reference):
+  * ``text2video_tts.sh "<text>" <person> <f|m>``      -> ``tts``
+  * ``text2video_audio.sh "<text>" <person>``          -> ``audio``
+  * ``text2video_tts_chinese.sh "<text>" <person> f``  -> ``tts-chinese``
+plus framework tools the reference lacked:
+  * ``train-aligner``  — flat-start acoustic-model training
+  * ``train-gan``      — pose2frame GAN training (see train/)
+  * ``bench``          — one-line JSON benchmark
+
+Usage: ``python -m text2video_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("text")
+    p.add_argument("person")
+    p.add_argument(
+        "--out", default="./output", help="output directory root"
+    )
+    p.add_argument(
+        "--data-dir",
+        default=None,
+        help="asset root laid out like the reference repo (default: "
+        "$T2V_DATA_DIR or /root/reference)",
+    )
+    p.add_argument(
+        "--aligner-model",
+        default=None,
+        help="acoustic model path (.am). Default: <out>/aligner/<person>.am, "
+        "trained on the fly from --train-audio pairs if missing",
+    )
+    p.add_argument(
+        "--gan-checkpoint",
+        default=None,
+        help="Orbax checkpoint dir of a trained pose2frame GAN; without "
+        "it the output video shows the skeleton label maps",
+    )
+    p.add_argument("--no-smooth", action="store_true")
+    p.add_argument(
+        "--emit-intermediates",
+        action="store_true",
+        help="write pose JSONs / label JPEGs / timestamp files like the "
+        "reference's dataset directories",
+    )
+
+
+def _build_pipeline(args, need_aligner: bool):
+    from text2video_tpu.config import PipelineConfig, get_profile
+    from text2video_tpu.pipeline import Text2VideoPipeline
+
+    profile = get_profile(args.person, data_dir=args.data_dir)
+    config = PipelineConfig(
+        person=profile,
+        out_dir=args.out,
+        smooth=not args.no_smooth,
+        emit_intermediates=args.emit_intermediates,
+    )
+    aligner = None
+    if need_aligner:
+        aligner = _load_or_train_aligner(args, profile)
+    renderer = None
+    if args.gan_checkpoint:
+        from text2video_tpu.train.checkpoints import load_renderer
+
+        renderer = load_renderer(args.gan_checkpoint, profile)
+    return Text2VideoPipeline(config, renderer=renderer, aligner=aligner)
+
+
+def _dict_path(args) -> str:
+    from text2video_tpu.config import DATA_DIR
+
+    return os.path.join(args.data_dir or DATA_DIR, "aligner/english/dict")
+
+
+def _load_or_train_aligner(args, profile):
+    from text2video_tpu.frontend.align_english import EnglishAligner
+
+    model_path = args.aligner_model or os.path.join(
+        args.out, "aligner", f"{profile.name}.am"
+    )
+    if os.path.exists(model_path):
+        return EnglishAligner.load(model_path, _dict_path(args), profile.fps)
+    raise SystemExit(
+        f"no acoustic model at {model_path}; train one first:\n"
+        f"  python -m text2video_tpu.cli train-aligner --out {model_path} "
+        f"wav1 'transcript 1' [wav2 'transcript 2' ...]"
+    )
+
+
+def cmd_tts(args) -> int:
+    pipe = _build_pipeline(args, need_aligner=True)
+    run = pipe.run_tts(args.text, args.sex)
+    print(json.dumps({"name": run.name, "frames": run.num_frames,
+                      "files": run.files}))
+    return 0
+
+
+def cmd_audio(args) -> int:
+    pipe = _build_pipeline(args, need_aligner=True)
+    wav = args.wav
+    if wav is None:
+        from text2video_tpu.config import DATA_DIR
+        from text2video_tpu.frontend.textnorm import derive_file_name
+
+        wav = os.path.join(
+            args.data_dir or DATA_DIR,
+            "input_audio_real",
+            args.person,
+            derive_file_name(args.text) + ".wav",
+        )
+    run = pipe.run_audio(args.text, wav)
+    print(json.dumps({"name": run.name, "frames": run.num_frames,
+                      "files": run.files}))
+    return 0
+
+
+def cmd_tts_chinese(args) -> int:
+    pipe = _build_pipeline(args, need_aligner=False)
+    run = pipe.run_tts_chinese(args.text, args.sex)
+    print(json.dumps({"name": run.name, "frames": run.num_frames,
+                      "files": run.files}))
+    return 0
+
+
+def cmd_train_aligner(args) -> int:
+    from text2video_tpu.frontend.align_english import (
+        PronouncingDict,
+        train_acoustic_model,
+    )
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    if len(args.pairs) % 2 != 0:
+        raise SystemExit("pairs must be wav1 'transcript 1' wav2 ...")
+    pdict = PronouncingDict.load(_dict_path(args))
+    utts = [
+        (load_wav_for_alignment(args.pairs[i]), args.pairs[i + 1])
+        for i in range(0, len(args.pairs), 2)
+    ]
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    train_acoustic_model(
+        utts,
+        pdict,
+        iterations=args.iterations,
+        target_mixes=args.mixes,
+        save_path=args.out,
+    )
+    print(json.dumps({"model": args.out, "utterances": len(utts)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    runpy.run_module("bench", run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="text2video_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("tts", help="English text -> TTS audio -> video")
+    _add_common(p)
+    p.add_argument("sex", nargs="?", default="f", choices=["f", "m"])
+    p.set_defaults(fn=cmd_tts)
+
+    p = sub.add_parser("audio", help="English text + real audio -> video")
+    _add_common(p)
+    p.add_argument("--wav", default=None, help="recorded wav path")
+    p.set_defaults(fn=cmd_audio)
+
+    p = sub.add_parser("tts-chinese", help="Mandarin text -> video")
+    _add_common(p)
+    p.add_argument("sex", nargs="?", default="f", choices=["f", "m"])
+    p.set_defaults(fn=cmd_tts_chinese)
+
+    p = sub.add_parser("train-aligner", help="train acoustic models")
+    p.add_argument("--out", required=True, help="output model path (.am)")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--iterations", type=int, default=12)
+    p.add_argument("--mixes", type=int, default=4)
+    p.add_argument("pairs", nargs="+", help="wav1 'transcript 1' wav2 ...")
+    p.set_defaults(fn=cmd_train_aligner)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""TTS frontends: text -> waveform.
+
+Replaces the reference's Baidu-TTS HTTP client (reference: tts_request.py —
+POST to tts.baidu.com/text2audio with per-person/gender voice ids, mp3
+download, pydub mp3->wav). Backends:
+
+  * :class:`HttpTTS` — same wire contract (voice id table comes from the
+    PersonProfile, mirroring tts_request.py:29-41). Requires network
+    egress; raises a clear error without it.
+  * :class:`FormantTTS` — self-contained fallback: a tiny rule-driven
+    formant synthesizer producing an intelligible-timing (not
+    natural-sounding) waveform so the full pipeline runs hermetically.
+    Phone durations/voicing drive the pose timing downstream, which is
+    what the video path actually consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Protocol, Tuple
+
+import numpy as np
+
+from text2video_tpu.config import PersonProfile
+from text2video_tpu.frontend import native
+from text2video_tpu.frontend.align_english import (
+    PronouncingDict,
+    strip_stress,
+    transcript_words,
+)
+
+
+class TTSBackend(Protocol):
+    def synthesize(self, text: str, sample_rate: int) -> np.ndarray: ...
+
+
+class HttpTTS:
+    """HTTP TTS client with the reference's voice-selection contract."""
+
+    URL = "http://tts.baidu.com/text2audio"
+
+    def __init__(self, profile: PersonProfile, sex: str = "f"):
+        self.voice = profile.voice(sex)
+        self.language = profile.language
+
+    def synthesize(self, text: str, sample_rate: int) -> np.ndarray:
+        try:
+            import requests  # noqa: PLC0415
+        except ImportError as e:
+            raise RuntimeError("requests not available") from e
+        params = {
+            "tex": text,
+            "lan": "zh" if self.language == "zh" else "en",
+            "per": self.voice,
+            "cuid": "text2video-tpu",
+            "ctp": 1,
+            "ie": "UTF-8",
+        }
+        resp = requests.post(self.URL, data=params, timeout=30)
+        resp.raise_for_status()
+        if resp.headers.get("Content-Type", "").startswith("audio"):
+            raise NotImplementedError(
+                "mp3 decode requires ffmpeg/pydub; save resp.content and "
+                "convert externally, or use FormantTTS"
+            )
+        raise RuntimeError(f"TTS error response: {resp.text[:200]}")
+
+
+# ---- self-contained formant synthesizer ----------------------------------
+
+# (f1, f2) formant pairs for vowels; consonants get noise/plosive handling.
+_VOWEL_FORMANTS = {
+    "AA": (730, 1090), "AE": (660, 1720), "AH": (640, 1190),
+    "AO": (570, 840), "AW": (700, 1200), "AY": (660, 1400),
+    "EH": (530, 1840), "ER": (490, 1350), "EY": (480, 1900),
+    "IH": (390, 1990), "IY": (270, 2290), "OW": (450, 900),
+    "OY": (500, 1100), "UH": (440, 1020), "UW": (300, 870),
+}
+_FRICATIVES = {"S", "SH", "F", "TH", "HH", "Z", "ZH", "V", "DH", "CH", "JH"}
+_PLOSIVES = {"P", "T", "K", "B", "D", "G"}
+_NASALS_LIQUIDS = {"M", "N", "NG", "L", "R", "W", "Y"}
+
+_DUR = {"vowel": 0.14, "fricative": 0.09, "plosive": 0.06, "other": 0.08}
+
+
+@dataclasses.dataclass
+class FormantTTS:
+    """Rule-based formant synthesis from dictionary pronunciations."""
+
+    pdict: Optional[PronouncingDict] = None
+    f0: float = 120.0
+    pause_s: float = 0.12
+
+    def _phones(self, word: str) -> List[str]:
+        if self.pdict is not None:
+            return [strip_stress(p) for p in self.pdict.lookup(word)]
+        return native.g2p(word)
+
+    def synthesize(self, text: str, sample_rate: int) -> np.ndarray:
+        rng = np.random.RandomState(0)
+        chunks: List[np.ndarray] = [np.zeros(int(0.1 * sample_rate), np.float32)]
+        words = transcript_words(text)
+        if words:
+            units = [self._phones(w) for w in words]
+        else:
+            # Chinese text: one generic voiced syllable per pinyin token.
+            from text2video_tpu.frontend.pinyin import to_pinyin  # noqa: PLC0415
+
+            units = [["AH"] for tok in to_pinyin(text) if tok.strip()]
+        for phones in units:
+            for ph in phones:
+                chunks.append(self._phone_wave(ph, sample_rate, rng))
+            chunks.append(
+                np.zeros(int(self.pause_s * sample_rate), np.float32)
+            )
+        chunks.append(np.zeros(int(0.1 * sample_rate), np.float32))
+        wave = np.concatenate(chunks)
+        peak = np.abs(wave).max()
+        return (wave / peak * 0.7).astype(np.float32) if peak > 0 else wave
+
+    def _phone_wave(
+        self, ph: str, sr: int, rng: np.random.RandomState
+    ) -> np.ndarray:
+        if ph in _VOWEL_FORMANTS:
+            dur = _DUR["vowel"]
+            n = int(dur * sr)
+            t = np.arange(n) / sr
+            f1, f2 = _VOWEL_FORMANTS[ph]
+            # Glottal-ish source: harmonics at f0 shaped by two formants.
+            wave = (
+                0.6 * np.sin(2 * np.pi * f1 * t)
+                + 0.4 * np.sin(2 * np.pi * f2 * t)
+            ) * (0.5 + 0.5 * np.sign(np.sin(2 * np.pi * self.f0 * t)))
+        elif ph in _FRICATIVES:
+            n = int(_DUR["fricative"] * sr)
+            wave = rng.randn(n).astype(np.float32) * 0.3
+        elif ph in _PLOSIVES:
+            n = int(_DUR["plosive"] * sr)
+            wave = np.zeros(n, np.float32)
+            burst = max(n // 4, 1)
+            wave[:burst] = rng.randn(burst) * 0.5
+        else:
+            dur = _DUR["other"]
+            n = int(dur * sr)
+            t = np.arange(n) / sr
+            wave = 0.4 * np.sin(2 * np.pi * 250 * t) * np.sin(
+                2 * np.pi * self.f0 * t
+            )
+        # 5 ms raised-cosine edges to avoid clicks.
+        edge = min(int(0.005 * sr), len(wave) // 2)
+        if edge > 0:
+            env = 0.5 * (1 - np.cos(np.pi * np.arange(edge) / edge))
+            wave[:edge] *= env
+            wave[-edge:] *= env[::-1]
+        return wave.astype(np.float32)

@@ -1,0 +1,208 @@
+"""End-to-end pipeline: text or audio in, talking-head video out.
+
+Replaces the reference's shell orchestration (reference:
+text2video_tts.sh, text2video_audio.sh, text2video_tts_chinese.sh — bash
+scripts gluing stages through the filesystem) with one in-memory typed
+pipeline:
+
+  text --(TTS | wav file)--> waveform
+       --(forced alignment | pinyin timestamping)--> Timestamps
+       --(PoseStage: dictionary gather + interpolation + smoothing)--> tracks
+       --(rasterize_batch: batched XLA scatter-draw)--> label maps
+       --(Renderer: autoregressive pose2frame GAN scan)--> frames
+       --(mux)--> video files
+
+Stages pass arrays; nothing is written to disk unless
+``config.emit_intermediates`` asks for the reference-layout artifacts.
+Without trained GAN weights the renderer defaults to skeleton passthrough
+(the label maps become the video), which is the reference's
+``--openpose_only`` debugging view and this framework's M1 slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from text2video_tpu.config import PersonProfile, PipelineConfig
+from text2video_tpu.frontend.align_english import EnglishAligner
+from text2video_tpu.frontend.audio import (
+    ALIGN_SAMPLE_RATE,
+    load_wav_for_alignment,
+)
+from text2video_tpu.frontend.textnorm import derive_file_name
+from text2video_tpu.frontend.timestamps import (
+    Timestamps,
+    format_timestamp_lines,
+    format_word_lines,
+)
+from text2video_tpu.frontend.timestamp_zh import AsrBackend, timestamp_chinese
+from text2video_tpu.frontend.tts import FormantTTS, TTSBackend
+from text2video_tpu.io.video import mux
+from text2video_tpu.ops.rasterize import rasterize_batch
+from text2video_tpu.pose_stage import PoseStage
+from text2video_tpu.render import Renderer
+
+
+@dataclasses.dataclass
+class RunResult:
+    name: str
+    num_frames: int
+    files: List[str]            # muxed outputs
+    timestamps: Timestamps
+    label_maps: Optional[np.ndarray] = None   # [T,H,W,3] uint8
+    frames: Optional[np.ndarray] = None       # [T,H,W,3] uint8
+
+
+class Text2VideoPipeline:
+    def __init__(
+        self,
+        config: PipelineConfig,
+        renderer: Optional[Renderer] = None,
+        aligner: Optional[EnglishAligner] = None,
+        tts: Optional[TTSBackend] = None,
+        asr: Optional[AsrBackend] = None,
+    ):
+        self.config = config
+        self.profile: PersonProfile = config.person
+        self.pose_stage = PoseStage(self.profile)
+        self.renderer = renderer
+        self.aligner = aligner
+        self.tts = tts
+        self.asr = asr
+
+    # ---- shared tail: timestamps -> video --------------------------------
+
+    def synthesize(
+        self,
+        ts: Timestamps,
+        name: str,
+        audio: Optional[np.ndarray] = None,
+        sample_rate: int = ALIGN_SAMPLE_RATE,
+        keep_arrays: bool = False,
+    ) -> RunResult:
+        cfg = self.config
+        result = self.pose_stage.run(ts, device=True)
+
+        # Tracks for rasterization: the smoothed pass when enabled
+        # (reference feeds test_openpose/tmp_smooth to vid2vid,
+        # text2video_tts.sh:34-45).
+        face = result.face_smooth if cfg.smooth else result.face
+        pose = result.pose_smooth if cfg.smooth else result.pose
+        carrier = result.plan.carrier
+        hands = self.pose_stage.table.hands[carrier]
+        labels = rasterize_batch(
+            face,
+            pose,
+            hands[:, 0],
+            hands[:, 1],
+            self.profile.canvas,
+            chunk=cfg.frame_chunk,
+        )
+
+        if self.renderer is not None:
+            frames = self.renderer.render(labels)
+        else:
+            frames = labels  # skeleton passthrough (no trained GAN)
+
+        out_dir = os.path.join(cfg.out_dir, self.profile.name)
+        os.makedirs(out_dir, exist_ok=True)
+        base = os.path.join(out_dir, name)
+        files = mux(
+            frames, audio, base, fps=self.profile.fps, sample_rate=sample_rate
+        )
+
+        if cfg.emit_intermediates:
+            self._emit_intermediates(out_dir, name, result, labels, ts)
+
+        return RunResult(
+            name=name,
+            num_frames=frames.shape[0],
+            files=files,
+            timestamps=ts,
+            label_maps=labels if keep_arrays else None,
+            frames=frames if keep_arrays else None,
+        )
+
+    def _emit_intermediates(self, out_dir, name, pose_result, labels, ts):
+        import cv2  # noqa: PLC0415
+
+        inter = os.path.join(out_dir, name + "_intermediates")
+        self.pose_stage.write_jsons(
+            pose_result,
+            os.path.join(inter, "pose"),
+            os.path.join(inter, "pose_smooth"),
+        )
+        img_dir = os.path.join(inter, "labels")
+        os.makedirs(img_dir, exist_ok=True)
+        for t in range(labels.shape[0]):
+            cv2.imwrite(
+                os.path.join(img_dir, "%05d.jpg" % t),
+                cv2.cvtColor(labels[t], cv2.COLOR_RGB2BGR),
+            )
+        with open(os.path.join(inter, "timestamps.txt"), "w") as f:
+            f.write(format_timestamp_lines(ts))
+
+    # ---- entry points mirroring the three shell scripts -------------------
+
+    def run_audio(
+        self, text: str, wav_path: str, keep_arrays: bool = False
+    ) -> RunResult:
+        """English, real recorded audio (reference: text2video_audio.sh)."""
+        if self.aligner is None:
+            raise RuntimeError(
+                "run_audio needs an EnglishAligner (train one with "
+                "train_acoustic_model or pass model/dict paths to the CLI)"
+            )
+        samples = load_wav_for_alignment(wav_path)
+        res = self.aligner.align(samples, text)
+        name = derive_file_name(text)
+        run = self.synthesize(
+            res.phones, name, audio=samples, keep_arrays=keep_arrays
+        )
+        if self.config.emit_intermediates:
+            out_dir = os.path.join(self.config.out_dir, self.profile.name)
+            inter = os.path.join(out_dir, name + "_intermediates")
+            os.makedirs(inter, exist_ok=True)
+            with open(os.path.join(inter, "words.txt"), "w") as f:
+                f.write(format_word_lines(res.words))
+        return run
+
+    def run_tts(
+        self, text: str, sex: str = "f", keep_arrays: bool = False
+    ) -> RunResult:
+        """English, synthesized audio (reference: text2video_tts.sh)."""
+        tts = self.tts or FormantTTS()
+        samples = tts.synthesize(text, ALIGN_SAMPLE_RATE)
+        if self.aligner is None:
+            raise RuntimeError("run_tts needs an EnglishAligner")
+        res = self.aligner.align(samples, text)
+        return self.synthesize(
+            res.phones,
+            derive_file_name(text),
+            audio=samples,
+            keep_arrays=keep_arrays,
+        )
+
+    def run_tts_chinese(
+        self, text: str, sex: str = "f", keep_arrays: bool = False
+    ) -> RunResult:
+        """Mandarin (reference: text2video_tts_chinese.sh)."""
+        tts = self.tts or FormantTTS()
+        samples = tts.synthesize(text, ALIGN_SAMPLE_RATE)
+        ts = timestamp_chinese(
+            text,
+            samples,
+            ALIGN_SAMPLE_RATE,
+            asr=self.asr,
+            fps=self.profile.timestamp_fps,
+        )
+        return self.synthesize(
+            ts,
+            derive_file_name(text, strip_spaces=True),
+            audio=samples,
+            keep_arrays=keep_arrays,
+        )

@@ -1,0 +1,71 @@
+"""Orbax checkpointing for GAN training and renderer loading.
+
+The reference's only checkpointing is vid2vid's per-person GAN weight
+files downloaded by hand (reference: README.md:20-34, --save_epoch_freq
+100 at :175). Here: Orbax-managed checkpoints of the full trainer state
+(G/D params, both optimizer states, step), plus a renderer loader that
+pulls just the generator params for inference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from text2video_tpu.config import PersonProfile, RenderConfig
+from text2video_tpu.train.trainer import TrainConfig, TrainerState
+
+
+def save_state(ckpt_dir: str, state: TrainerState) -> None:
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(
+            os.path.join(ckpt_dir, f"step_{int(state.step):08d}"),
+            jax.tree.map(np.asarray, state),
+        )
+
+
+def latest_step_dir(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(
+        d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+    )
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def restore_state(ckpt_dir: str, template: TrainerState) -> TrainerState:
+    path = latest_step_dir(ckpt_dir)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with ocp.StandardCheckpointer() as ck:
+        return ck.restore(path, template)
+
+
+def restore_generator_params(ckpt_dir: str) -> Any:
+    """Restore only the generator params pytree (for inference)."""
+    path = latest_step_dir(ckpt_dir)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with ocp.PyTreeCheckpointer() as ck:
+        tree = ck.restore(path)
+    return tree["g_params"]
+
+
+def load_renderer(ckpt_dir: str, profile: PersonProfile):
+    """Build an inference Renderer from a training checkpoint."""
+    from text2video_tpu.render import Renderer
+
+    w, h = profile.canvas
+    renderer = Renderer.create(
+        config=RenderConfig(), height=h, width=w
+    )
+    return Renderer(
+        generator=renderer.generator,
+        params=restore_generator_params(ckpt_dir),
+        config=renderer.config,
+    )
