@@ -157,6 +157,40 @@ def cmd_train_aligner(args) -> int:
     return 0
 
 
+def cmd_train_gan(args) -> int:
+    import jax.numpy as jnp
+
+    from text2video_tpu.train.data import PoseClipDataset
+    from text2video_tpu.train.loop import train_gan
+    from text2video_tpu.train.trainer import TrainConfig
+
+    dataset = PoseClipDataset(
+        images_dir=args.images,
+        keypoints_dir=args.keypoints,
+        canvas=(args.width, args.height),
+        source_canvas=(args.source_width or args.width,
+                       args.source_height or args.height),
+        clip_len=args.clip_len,
+    )
+    cfg = TrainConfig(
+        height=args.height,
+        width=args.width,
+        base_ch=args.base_ch,
+        use_vgg=not args.no_vgg,
+        dtype=jnp.bfloat16,
+    )
+    state = train_gan(
+        dataset,
+        cfg,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        ckpt_dir=args.ckpt,
+        n_model=args.n_model,
+    )
+    print(json.dumps({"steps": int(state.step), "ckpt": args.ckpt}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -190,6 +224,22 @@ def main(argv=None) -> int:
     p.add_argument("--mixes", type=int, default=4)
     p.add_argument("pairs", nargs="+", help="wav1 'transcript 1' wav2 ...")
     p.set_defaults(fn=cmd_train_aligner)
+
+    p = sub.add_parser("train-gan", help="train the pose2frame GAN")
+    p.add_argument("--images", required=True, help="real frame dir")
+    p.add_argument("--keypoints", required=True, help="OpenPose JSON dir")
+    p.add_argument("--ckpt", required=True, help="checkpoint dir")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--source-width", type=int, default=None)
+    p.add_argument("--source-height", type=int, default=None)
+    p.add_argument("--clip-len", type=int, default=12)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--base-ch", type=int, default=64)
+    p.add_argument("--n-model", type=int, default=1)
+    p.add_argument("--no-vgg", action="store_true")
+    p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)

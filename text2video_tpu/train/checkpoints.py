@@ -9,6 +9,8 @@ pulls just the generator params for inference.
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any, Optional
 
@@ -20,13 +22,31 @@ from text2video_tpu.config import PersonProfile, RenderConfig
 from text2video_tpu.train.trainer import TrainConfig, TrainerState
 
 
-def save_state(ckpt_dir: str, state: TrainerState) -> None:
+def save_state(
+    ckpt_dir: str, state: TrainerState, cfg: Optional[TrainConfig] = None
+) -> None:
     ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    if cfg is not None:
+        meta = {
+            k: (str(v) if k == "dtype" else v)
+            for k, v in dataclasses.asdict(cfg).items()
+        }
+        with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+            json.dump(meta, f, indent=1)
     with ocp.StandardCheckpointer() as ck:
         ck.save(
             os.path.join(ckpt_dir, f"step_{int(state.step):08d}"),
             jax.tree.map(np.asarray, state),
         )
+
+
+def load_config(ckpt_dir: str) -> Optional[dict]:
+    path = os.path.join(ckpt_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def latest_step_dir(ckpt_dir: str) -> Optional[str]:
@@ -57,15 +77,21 @@ def restore_generator_params(ckpt_dir: str) -> Any:
 
 
 def load_renderer(ckpt_dir: str, profile: PersonProfile):
-    """Build an inference Renderer from a training checkpoint."""
+    """Build an inference Renderer from a training checkpoint (generator
+    hyperparameters come from the checkpoint's config.json)."""
+    import jax.numpy as jnp
+
+    from text2video_tpu.models.generator import CompositeGenerator
     from text2video_tpu.render import Renderer
 
-    w, h = profile.canvas
-    renderer = Renderer.create(
-        config=RenderConfig(), height=h, width=w
+    meta = load_config(ckpt_dir) or {}
+    gen = CompositeGenerator(
+        base_ch=int(meta.get("base_ch", 64)),
+        n_blocks=int(meta.get("n_blocks", 9)),
+        dtype=jnp.bfloat16,
     )
     return Renderer(
-        generator=renderer.generator,
+        generator=gen,
         params=restore_generator_params(ckpt_dir),
-        config=renderer.config,
+        config=RenderConfig(),
     )

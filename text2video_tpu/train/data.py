@@ -1,0 +1,184 @@
+"""Training data pipeline: (keypoints, real frames) -> clip batches.
+
+The reference trains its GAN on vid2vid's pose dataset layout —
+``datasets/{person}/train_openpose`` label images + ``train_img`` real
+frames, sampled as 12-frame clips (reference: README.md:169-177,
+``--n_frames_total 12 --max_t_step 4``). Here the dataset is built
+directly from a person's keypoint JSONs + real frame images (e.g. the
+VidTIMIT assets at *phoneme_data/VidTIMIT/{person}/): label maps are
+rasterized on device by ops/rasterize.py (no label images on disk), clips
+are sampled per source clip with a random temporal stride, and batches
+are normalized [-1, 1] NHWC arrays ready for the sharded train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from text2video_tpu.io.openpose import load_keypoint_frame
+from text2video_tpu.ops.rasterize import rasterize_batch
+
+_STEM_RE = re.compile(r"^(?P<clip>.+?)_(?P<frame>\d+)$")
+
+
+def _mouth_centers(face: np.ndarray) -> np.ndarray:
+    """[T, 210] face tracks -> [T, 2] mouth centres (points 48-59 mean,
+    the reference's mouth_center convention,
+    interp_landmarks_motion.py:91-94)."""
+    pts = face.reshape(-1, 70, 3)
+    return pts[:, 48:60, :2].mean(axis=1)
+
+
+@dataclasses.dataclass
+class _Frame:
+    stem: str
+    image_path: str
+    keypoint_path: str
+
+
+class PoseClipDataset:
+    """Clip sampler over paired (keypoint JSON, real frame) files."""
+
+    def __init__(
+        self,
+        images_dir: str,
+        keypoints_dir: str,
+        canvas: Tuple[int, int] = (512, 384),
+        source_canvas: Optional[Tuple[int, int]] = None,
+        clip_len: int = 12,
+        max_t_step: int = 4,
+        cache_labels: bool = True,
+    ):
+        """canvas: training resolution (w, h). source_canvas: resolution
+        the keypoints were annotated at (defaults to canvas); keypoint
+        coordinates are scaled canvas/source so low-res training works."""
+        self.canvas = canvas
+        self.source_canvas = source_canvas or canvas
+        self.clip_len = clip_len
+        self.max_t_step = max_t_step
+
+        images = {}
+        for p in glob.glob(os.path.join(images_dir, "*")):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            images[stem] = p
+        frames: List[_Frame] = []
+        for p in sorted(
+            glob.glob(os.path.join(keypoints_dir, "*_keypoints.json"))
+        ):
+            stem = os.path.basename(p)[: -len("_keypoints.json")]
+            if stem in images:
+                frames.append(_Frame(stem, images[stem], p))
+        if not frames:
+            raise FileNotFoundError(
+                f"no paired frames between {images_dir} and {keypoints_dir}"
+            )
+
+        # Group into contiguous runs per clip (clips are "<clip>_<frame>").
+        runs: Dict[str, List[_Frame]] = {}
+        for f in frames:
+            m = _STEM_RE.match(f.stem)
+            clip = m.group("clip") if m else "all"
+            runs.setdefault(clip, []).append(f)
+        self.clips = [
+            sorted(v, key=lambda f: f.stem)
+            for v in runs.values()
+            if len(v) >= clip_len
+        ]
+        if not self.clips:
+            raise ValueError(
+                f"no clip has >= {clip_len} paired frames"
+            )
+        self.num_frames = sum(len(c) for c in self.clips)
+
+        # Preload keypoint tracks (tiny) per clip, scaled to `canvas`.
+        sx = canvas[0] / self.source_canvas[0]
+        sy = canvas[1] / self.source_canvas[1]
+
+        def scale(track: np.ndarray) -> np.ndarray:
+            t = track.reshape(track.shape[0], -1, 3)
+            t[..., 0] *= sx
+            t[..., 1] *= sy
+            return t.reshape(track.shape)
+
+        self._tracks = []
+        for clip in self.clips:
+            face = np.zeros((len(clip), 210), np.float32)
+            pose = np.zeros((len(clip), 75), np.float32)
+            hands = np.zeros((len(clip), 2, 63), np.float32)
+            for i, f in enumerate(clip):
+                kf = load_keypoint_frame(f.keypoint_path)
+                face[i] = kf.face
+                pose[i] = kf.pose
+                hands[i, 0] = kf.hand_l
+                hands[i, 1] = kf.hand_r
+            self._tracks.append(
+                (scale(face), scale(pose),
+                 scale(hands.reshape(len(clip), -1)).reshape(hands.shape))
+            )
+
+        self._label_cache: Optional[List[np.ndarray]] = None
+        if cache_labels:
+            self._label_cache = [
+                rasterize_batch(
+                    f, p, h[:, 0], h[:, 1], self.canvas, chunk=64
+                )
+                for f, p, h in self._tracks
+            ]
+        self._image_cache: Dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+
+    def _load_image(self, path: str) -> np.ndarray:
+        img = self._image_cache.get(path)
+        if img is None:
+            bgr = cv2.imread(path)
+            if bgr is None:
+                raise FileNotFoundError(path)
+            w, h = self.canvas
+            if bgr.shape[:2] != (h, w):
+                bgr = cv2.resize(bgr, (w, h), interpolation=cv2.INTER_AREA)
+            img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            self._image_cache[path] = img
+        return img
+
+    def sample_clip(self, rng: np.random.RandomState):
+        """-> (labels [T,H,W,3] u8, reals [T,H,W,3] u8, centers [T,2])."""
+        ci = rng.randint(len(self.clips))
+        clip = self.clips[ci]
+        face, pose, hands = self._tracks[ci]
+        max_stride = min(
+            self.max_t_step, max((len(clip) - 1) // (self.clip_len - 1), 1)
+        )
+        stride = rng.randint(1, max_stride + 1)
+        span = (self.clip_len - 1) * stride + 1
+        start = rng.randint(0, len(clip) - span + 1)
+        idx = np.arange(start, start + span, stride)
+
+        if self._label_cache is not None:
+            labels = self._label_cache[ci][idx]
+        else:
+            labels = rasterize_batch(
+                face[idx], pose[idx], hands[idx, 0], hands[idx, 1],
+                self.canvas, chunk=len(idx),
+            )
+        reals = np.stack([self._load_image(clip[i].image_path) for i in idx])
+        centers = _mouth_centers(face[idx])
+        return labels, reals, centers
+
+    def batch(self, rng: np.random.RandomState, batch_size: int) -> Dict:
+        labels, reals, centers = zip(
+            *[self.sample_clip(rng) for _ in range(batch_size)]
+        )
+        to_f = lambda x: np.stack(x).astype(np.float32) / 127.5 - 1.0
+        return {
+            "labels": to_f(labels),
+            "reals": to_f(reals),
+            "face_centers": np.stack(centers).astype(np.float32),
+        }

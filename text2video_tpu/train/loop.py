@@ -1,0 +1,102 @@
+"""GAN training loop: sharded steps, metrics, Orbax checkpoints.
+
+The reference trains vid2vid with ``train.py --dataset_mode pose ...
+--gpu_ids 0,...,7 --batchSize 8`` (torch DataParallel; reference:
+README.md:169-177). Here: one jitted train step (train/trainer.py) pjit'd
+over a ("data", "model") mesh, host-side clip sampling (train/data.py),
+wall-clock + loss logging, periodic Orbax saves.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from text2video_tpu.parallel.mesh import make_mesh, param_specs
+from text2video_tpu.train import checkpoints as ckpt
+from text2video_tpu.train.data import PoseClipDataset
+from text2video_tpu.train.trainer import (
+    TrainConfig,
+    TrainerState,
+    create_trainer_state,
+    make_train_step,
+)
+
+
+def train_gan(
+    dataset: PoseClipDataset,
+    cfg: Optional[TrainConfig] = None,
+    steps: int = 1000,
+    batch_size: int = 2,
+    seed: int = 0,
+    ckpt_dir: Optional[str] = None,
+    save_every: int = 200,
+    log_every: int = 10,
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    log_fn: Callable[[str], None] = print,
+) -> TrainerState:
+    """Train the pose2frame GAN; returns the final state."""
+    w, h = dataset.canvas
+    cfg = cfg or TrainConfig(height=h, width=w)
+    if n_data is None:
+        # Largest divisor of the batch size that fits the device count.
+        avail = max(len(jax.devices()) // n_model, 1)
+        n_data = max(
+            d for d in range(1, avail + 1) if batch_size % d == 0
+        )
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    state = create_trainer_state(cfg, seed=seed)
+    if ckpt_dir is not None and ckpt.latest_step_dir(ckpt_dir):
+        state = ckpt.restore_state(ckpt_dir, state)
+        log_fn(f"resumed from step {int(state.step)}")
+
+    step_fn = make_train_step(cfg)
+
+    specs_state = jax.tree.map(lambda _: P(), state)
+    specs_state = specs_state.replace(
+        g_params=param_specs(state.g_params, mesh),
+        d_params=param_specs(state.d_params, mesh),
+    )
+
+    def shard(tree):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    state = jax.device_put(state, shard(specs_state))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(shard(specs_state), None),
+        out_shardings=(shard(specs_state), None),
+        donate_argnums=(0,),
+    )
+
+    rng = np.random.RandomState(seed)
+    t0 = time.time()
+    frames_done = 0
+    for i in range(steps):
+        batch = dataset.batch(rng, batch_size)
+        batch = jax.device_put(batch, batch_sharding)
+        state, metrics = jit_step(state, batch)
+        frames_done += batch_size * dataset.clip_len
+        if (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            log_fn(
+                f"step {int(state.step)}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                + f" | {frames_done / dt:.1f} frames/s"
+            )
+        if ckpt_dir is not None and (i + 1) % save_every == 0:
+            ckpt.save_state(ckpt_dir, jax.device_get(state), cfg)
+    if ckpt_dir is not None:
+        ckpt.save_state(ckpt_dir, jax.device_get(state), cfg)
+    return state
