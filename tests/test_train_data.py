@@ -107,3 +107,22 @@ def test_short_training_run_and_checkpoint(dataset, tmp_path):
     labels = np.zeros((2, 96, 128, 3), np.uint8)
     frames = renderer.render(labels)
     assert frames.shape == (2, 96, 128, 3)
+
+
+@requires_reference_data
+def test_device_data_mode(dataset, tmp_path):
+    from text2video_tpu.train.loop import train_gan
+    from text2video_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        height=96, width=128, face_crop=24, base_ch=8, n_blocks=1,
+        d_base_ch=8, use_vgg=False, dtype=jnp.float32,
+    )
+    logs = []
+    state = train_gan(
+        dataset, cfg, steps=2, batch_size=2, device_data=True,
+        log_every=1, log_fn=logs.append,
+    )
+    assert int(state.step) == 2
+    assert any("device-resident" in l for l in logs)
+    assert any("g_loss" in l for l in logs)

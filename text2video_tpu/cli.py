@@ -186,6 +186,7 @@ def cmd_train_gan(args) -> int:
         batch_size=args.batch_size,
         ckpt_dir=args.ckpt,
         n_model=args.n_model,
+        device_data=args.device_data,
     )
     print(json.dumps({"steps": int(state.step), "ckpt": args.ckpt}))
     return 0
@@ -239,6 +240,9 @@ def main(argv=None) -> int:
     p.add_argument("--base-ch", type=int, default=64)
     p.add_argument("--n-model", type=int, default=1)
     p.add_argument("--no-vgg", action="store_true")
+    p.add_argument("--device-data", action="store_true",
+                   help="keep the whole dataset in HBM; per-step traffic\n"
+                   "becomes a [B,T] index array (slow-link hosts)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

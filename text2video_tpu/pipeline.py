@@ -45,6 +45,8 @@ from text2video_tpu.io.video import mux
 from text2video_tpu.ops.rasterize import rasterize_batch
 from text2video_tpu.pose_stage import PoseStage
 from text2video_tpu.render import Renderer
+from text2video_tpu.utils.logging import get_logger
+from text2video_tpu.utils.profiling import StageTimer
 
 
 @dataclasses.dataclass
@@ -55,6 +57,7 @@ class RunResult:
     timestamps: Timestamps
     label_maps: Optional[np.ndarray] = None   # [T,H,W,3] uint8
     frames: Optional[np.ndarray] = None       # [T,H,W,3] uint8
+    stage_seconds: Optional[dict] = None      # per-stage wall clock
 
 
 class Text2VideoPipeline:
@@ -85,7 +88,9 @@ class Text2VideoPipeline:
         keep_arrays: bool = False,
     ) -> RunResult:
         cfg = self.config
-        result = self.pose_stage.run(ts, device=True)
+        timer = StageTimer()
+        with timer.stage("pose_synthesis"):
+            result = self.pose_stage.run(ts, device=True)
 
         # Tracks for rasterization: the smoothed pass when enabled
         # (reference feeds test_openpose/tmp_smooth to vid2vid,
@@ -94,30 +99,42 @@ class Text2VideoPipeline:
         pose = result.pose_smooth if cfg.smooth else result.pose
         carrier = result.plan.carrier
         hands = self.pose_stage.table.hands[carrier]
-        labels = rasterize_batch(
-            face,
-            pose,
-            hands[:, 0],
-            hands[:, 1],
-            self.profile.canvas,
-            chunk=cfg.frame_chunk,
-        )
+        with timer.stage("rasterize"):
+            labels = rasterize_batch(
+                face,
+                pose,
+                hands[:, 0],
+                hands[:, 1],
+                self.profile.canvas,
+                chunk=cfg.frame_chunk,
+            )
 
-        if self.renderer is not None:
-            frames = self.renderer.render(labels)
-        else:
-            frames = labels  # skeleton passthrough (no trained GAN)
+        with timer.stage("render"):
+            if self.renderer is not None:
+                frames = self.renderer.render(labels)
+            else:
+                frames = labels  # skeleton passthrough (no trained GAN)
 
         out_dir = os.path.join(cfg.out_dir, self.profile.name)
         os.makedirs(out_dir, exist_ok=True)
         base = os.path.join(out_dir, name)
-        files = mux(
-            frames, audio, base, fps=self.profile.fps, sample_rate=sample_rate
-        )
+        with timer.stage("mux"):
+            files = mux(
+                frames, audio, base, fps=self.profile.fps,
+                sample_rate=sample_rate,
+            )
 
         if cfg.emit_intermediates:
             self._emit_intermediates(out_dir, name, result, labels, ts)
 
+        stage_seconds = timer.totals()
+        get_logger().log(
+            "pipeline_run",
+            person=self.profile.name,
+            name=name,
+            frames=int(frames.shape[0]),
+            **{f"s_{k}": round(v, 4) for k, v in stage_seconds.items()},
+        )
         return RunResult(
             name=name,
             num_frames=frames.shape[0],
@@ -125,6 +142,7 @@ class Text2VideoPipeline:
             timestamps=ts,
             label_maps=labels if keep_arrays else None,
             frames=frames if keep_arrays else None,
+            stage_seconds=stage_seconds,
         )
 
     def _emit_intermediates(self, out_dir, name, pose_result, labels, ts):

@@ -172,6 +172,48 @@ class PoseClipDataset:
         centers = _mouth_centers(face[idx])
         return labels, reals, centers
 
+    # ---- device-resident mode helpers ---------------------------------
+
+    def flat_arrays(self):
+        """Whole dataset as flat arrays for device residency:
+        (labels_u8 [N,H,W,3], reals_u8 [N,H,W,3], centers [N,2])."""
+        if self._label_cache is None:
+            self._label_cache = [
+                rasterize_batch(
+                    f, p, h[:, 0], h[:, 1], self.canvas, chunk=64
+                )
+                for f, p, h in self._tracks
+            ]
+        labels = np.concatenate(self._label_cache, axis=0)
+        reals = np.concatenate(
+            [
+                np.stack([self._load_image(f.image_path) for f in clip])
+                for clip in self.clips
+            ]
+        )
+        centers = np.concatenate(
+            [_mouth_centers(face) for face, _, _ in self._tracks]
+        ).astype(np.float32)
+        self._clip_offsets = np.cumsum(
+            [0] + [len(c) for c in self.clips]
+        )
+        return labels, reals, centers
+
+    def sample_clip_indices(self, rng: np.random.RandomState) -> np.ndarray:
+        """[clip_len] flat frame indices of one sampled clip (contiguous
+        run with random stride, same scheme as sample_clip)."""
+        ci = rng.randint(len(self.clips))
+        n = len(self.clips[ci])
+        max_stride = min(
+            self.max_t_step, max((n - 1) // (self.clip_len - 1), 1)
+        )
+        stride = rng.randint(1, max_stride + 1)
+        span = (self.clip_len - 1) * stride + 1
+        start = rng.randint(0, n - span + 1)
+        return self._clip_offsets[ci] + np.arange(
+            start, start + span, stride, dtype=np.int32
+        )
+
     def batch(self, rng: np.random.RandomState, batch_size: int) -> Dict:
         labels, reals, centers = zip(
             *[self.sample_clip(rng) for _ in range(batch_size)]

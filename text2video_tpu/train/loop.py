@@ -38,9 +38,17 @@ def train_gan(
     log_every: int = 10,
     n_data: Optional[int] = None,
     n_model: int = 1,
+    device_data: bool = False,
     log_fn: Callable[[str], None] = print,
 ) -> TrainerState:
-    """Train the pose2frame GAN; returns the final state."""
+    """Train the pose2frame GAN; returns the final state.
+
+    device_data=True keeps the whole dataset resident on device as uint8
+    (one upload) and gathers clips by index inside the jitted step — the
+    host->device traffic per step shrinks to a [B, T] index array. Use
+    when the host<->device link is slow (tunneled devices) or the input
+    pipeline can't keep up; the dataset must fit in HBM.
+    """
     w, h = dataset.canvas
     cfg = cfg or TrainConfig(height=h, width=w)
     if n_data is None:
@@ -72,20 +80,64 @@ def train_gan(
 
     state = jax.device_put(state, shard(specs_state))
     batch_sharding = NamedSharding(mesh, P("data"))
-    jit_step = jax.jit(
-        step_fn,
-        in_shardings=(shard(specs_state), None),
-        out_shardings=(shard(specs_state), None),
-        donate_argnums=(0,),
-    )
+
+    if device_data:
+        import jax.numpy as jnp
+
+        labels_u8, reals_u8, centers_np = dataset.flat_arrays()
+        repl = NamedSharding(mesh, P())
+        labels_all = jax.device_put(labels_u8, repl)
+        reals_all = jax.device_put(reals_u8, repl)
+        centers_all = jax.device_put(centers_np, repl)
+        log_fn(
+            f"device-resident dataset: {labels_u8.nbytes / 1e6:.0f} MB "
+            f"labels + {reals_u8.nbytes / 1e6:.0f} MB frames uploaded once"
+        )
+
+        def gather_step(st, la, ra, ca, idx):
+            to_f = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+            batch = {
+                "labels": jax.lax.with_sharding_constraint(
+                    to_f(la[idx]), batch_sharding
+                ),
+                "reals": jax.lax.with_sharding_constraint(
+                    to_f(ra[idx]), batch_sharding
+                ),
+                "face_centers": jax.lax.with_sharding_constraint(
+                    ca[idx], batch_sharding
+                ),
+            }
+            return step_fn(st, batch)
+
+        jit_step = jax.jit(
+            gather_step,
+            in_shardings=(shard(specs_state), repl, repl, repl, None),
+            out_shardings=(shard(specs_state), None),
+            donate_argnums=(0,),
+        )
+    else:
+        jit_step = jax.jit(
+            step_fn,
+            in_shardings=(shard(specs_state), None),
+            out_shardings=(shard(specs_state), None),
+            donate_argnums=(0,),
+        )
 
     rng = np.random.RandomState(seed)
     t0 = time.time()
     frames_done = 0
     for i in range(steps):
-        batch = dataset.batch(rng, batch_size)
-        batch = jax.device_put(batch, batch_sharding)
-        state, metrics = jit_step(state, batch)
+        if device_data:
+            idx = np.stack(
+                [dataset.sample_clip_indices(rng) for _ in range(batch_size)]
+            )
+            state, metrics = jit_step(
+                state, labels_all, reals_all, centers_all, idx
+            )
+        else:
+            batch = dataset.batch(rng, batch_size)
+            batch = jax.device_put(batch, batch_sharding)
+            state, metrics = jit_step(state, batch)
         frames_done += batch_size * dataset.clip_len
         if (i + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
