@@ -192,6 +192,33 @@ def cmd_train_gan(args) -> int:
     return 0
 
 
+def cmd_build_dict(args) -> int:
+    from text2video_tpu.dictbuild import (
+        build_phoneme_dict,
+        collect_instances,
+        write_phoneme_dict,
+    )
+    from text2video_tpu.frontend.align_english import EnglishAligner
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    if len(args.triples) % 3 != 0:
+        raise SystemExit("triples must be clip1 wav1 'transcript 1' ...")
+    aligner = EnglishAligner.load(args.aligner_model, _dict_path(args))
+    clips = [
+        (
+            args.triples[i],
+            load_wav_for_alignment(args.triples[i + 1]),
+            args.triples[i + 2],
+        )
+        for i in range(0, len(args.triples), 3)
+    ]
+    instances = collect_instances(clips, aligner, video_fps=args.fps)
+    entries = build_phoneme_dict(instances)
+    write_phoneme_dict(entries, args.out)
+    print(json.dumps({"dict": args.out, "symbols": len(entries)}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -225,6 +252,18 @@ def main(argv=None) -> int:
     p.add_argument("--mixes", type=int, default=4)
     p.add_argument("pairs", nargs="+", help="wav1 'transcript 1' wav2 ...")
     p.set_defaults(fn=cmd_train_aligner)
+
+    p = sub.add_parser(
+        "build-dict", help="build a phoneme-pose dictionary from recordings"
+    )
+    p.add_argument("--out", required=True, help="output dict path")
+    p.add_argument("--aligner-model", required=True)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--fps", type=float, default=25.0)
+    p.add_argument(
+        "triples", nargs="+", help="clip1 wav1 'transcript 1' clip2 ..."
+    )
+    p.set_defaults(fn=cmd_build_dict)
 
     p = sub.add_parser("train-gan", help="train the pose2frame GAN")
     p.add_argument("--images", required=True, help="real frame dir")
