@@ -43,3 +43,19 @@ def test_render_max_frames_cap():
     labels = np.zeros((10, 32, 32, 3), np.uint8)
     frames = r.render(labels)
     assert frames.shape[0] == 6
+
+
+def test_render_many_sharded_matches_single():
+    """Utterance-batch axis sharded over the 8-device mesh must reproduce
+    per-utterance rendering exactly (batch parallelism is embarrassing)."""
+    from text2video_tpu.parallel.mesh import make_mesh
+
+    r = _tiny_renderer()
+    r.time_bucket = 4
+    rng = np.random.RandomState(3)
+    labels = rng.randint(0, 256, size=(8, 6, 32, 32, 3), dtype=np.uint8)
+    singles = np.stack([r.render(labels[i]) for i in range(8)])
+    mesh = make_mesh(n_data=8, n_model=1)
+    batched = r.render_many(labels, mesh=mesh)
+    assert batched.shape == singles.shape
+    np.testing.assert_array_equal(batched, singles)

@@ -64,14 +64,32 @@ class PoseStage:
         )
 
     def run(self, ts: Timestamps, device: bool = True) -> PoseResult:
-        """device=True: fused float32 XLA path. device=False: bit-exact
-        float64 host path (matches reference JSON output byte-for-byte)."""
+        """device=True: fused float32 device path — a single Pallas kernel
+        (gather + blend + recursive smoothing + mouth re-pin, all VMEM)
+        when table+tracks fit, else the XLA gather + lax.scan program.
+        device=False: bit-exact float64 host path (matches reference JSON
+        output byte-for-byte)."""
+        import jax
+
         plan = plan_pose_track(ts, self.pdict, self.table, self.profile)
         if device:
-            face, pose = synthesize_device(plan, self.table)
-            face_s, pose_s = smooth_device_jit(
-                face, pose, self.profile.smooth_width
+            from text2video_tpu.ops.fused_pose import (
+                fits_vmem,
+                synthesize_and_smooth_pallas,
             )
+
+            face, pose = synthesize_device(plan, self.table)
+            if (
+                jax.default_backend() == "tpu"
+                and fits_vmem(len(self.table), plan.num_frames)
+            ):
+                face_s, pose_s = synthesize_and_smooth_pallas(
+                    plan, self.table, self.profile.smooth_width
+                )
+            else:
+                face_s, pose_s = smooth_device_jit(
+                    face, pose, self.profile.smooth_width
+                )
             face, pose, face_s, pose_s = (
                 np.asarray(face, dtype=np.float64),
                 np.asarray(pose, dtype=np.float64),

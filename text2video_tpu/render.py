@@ -140,3 +140,27 @@ class Renderer:
         chunks = self.generate_device(labels)
         host = [np.asarray(c[0]) for c in chunks]
         return np.concatenate(host, axis=0)[:t]
+
+    def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
+        """[B, T, H, W, 3] uint8 -> [B, T, H, W, 3] uint8 frames.
+
+        Cross-utterance batch parallelism: with a mesh, the utterance axis
+        shards over "data" and every scan step runs B/n_data generator
+        forwards per chip with XLA collectives riding ICI (SURVEY.md §2.5;
+        the scaling story for a sequential model). Params are replicated.
+        """
+        b, t = labels_u8.shape[:2]
+        t = min(t, self.config.max_frames)
+        labels = labels_u8[:, :t].astype(np.float32) / 127.5 - 1.0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+            labels = jax.device_put(labels, sharding)
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, P())
+            )
+        else:
+            labels = jnp.asarray(labels)
+        chunks = self.generate_device(labels)
+        return np.concatenate([np.asarray(c) for c in chunks], axis=1)[:, :t]
