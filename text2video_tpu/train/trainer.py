@@ -53,6 +53,10 @@ class TrainConfig:
     lambda_face: float = 1.0
     lambda_temp: float = 1.0
     use_vgg: bool = True
+    # Rematerialize the per-frame generator forward (and VGG) in the
+    # backward pass: the T-step scan otherwise saves every frame's
+    # activations and blows HBM at full resolution.
+    remat: bool = True
     dtype: Any = jnp.bfloat16
 
 
@@ -134,11 +138,15 @@ def _generate_clip(gen, cfg: TrainConfig, g_params, labels, reals):
 
     labels_t = jnp.moveaxis(labels.astype(dt), 1, 0)
 
+    gen_apply = gen.apply
+    if cfg.remat:
+        gen_apply = jax.checkpoint(gen_apply, static_argnums=())
+
     def step_fn(carry, lab):
         prev_i, prev_l, step = carry
         ctx = jnp.concatenate([lab, prev_l], axis=-1)
         has_prev = jnp.broadcast_to((step > 0).astype(dt), (b,))
-        frame, flow, mask = gen.apply(g_params, ctx, prev_i, has_prev)
+        frame, flow, mask = gen_apply(g_params, ctx, prev_i, has_prev)
         frame = frame.astype(dt)
         new_prev_i = jnp.concatenate([frame, prev_i[..., :-3]], axis=-1)
         new_prev_l = jnp.concatenate([lab, prev_l[..., :-3]], axis=-1)
@@ -222,8 +230,11 @@ def make_train_step(cfg: TrainConfig):
         g_fm = L.feature_matching(d_real, d_fake)
         g_vgg = jnp.zeros(())
         if cfg.use_vgg:
-            vf = vgg.apply(vgg_params, fakes_f)
-            vr = vgg.apply(vgg_params, reals_flat)
+            vgg_apply = (
+                jax.checkpoint(vgg.apply) if cfg.remat else vgg.apply
+            )
+            vf = vgg_apply(vgg_params, fakes_f)
+            vr = vgg.apply(vgg_params, jax.lax.stop_gradient(reals_flat))
             g_vgg = L.perceptual(vf, vr)
         g_flow = L.flow_loss(
             _flatten_bt(flows[:, 1:]),
