@@ -195,6 +195,45 @@ int t2v_align_variants(void* handle, const float* feats, int t, int d,
   return 0;
 }
 
+// Per-frame best-path positions (for state-level timing output, the
+// reference's align_english_states.py role). Same segment encoding as
+// t2v_align_variants; caller allocates 4 arrays of length t.
+int t2v_align_frame_states(void* handle, const float* feats, int t, int d,
+                           int n_segments, const int* seg_n_variants,
+                           const unsigned char* seg_skippable,
+                           const int* variant_lengths, const int* phone_ids,
+                           int* out_phone_id, int* out_state,
+                           int* out_segment, int* out_phone_pos,
+                           double* loglik) {
+  auto* m = static_cast<AcousticModel*>(handle);
+  if (d != m->dim) return 2;
+  const auto fv = WrapFeats(feats, t, d);
+  std::vector<t2v::Segment> segments(n_segments);
+  int vi = 0, pi = 0;
+  for (int i = 0; i < n_segments; ++i) {
+    segments[i].skippable = seg_skippable[i] != 0;
+    for (int v = 0; v < seg_n_variants[i]; ++v, ++vi) {
+      t2v::Variant var;
+      var.phone_ids.assign(phone_ids + pi, phone_ids + pi + variant_lengths[vi]);
+      pi += variant_lengths[vi];
+      segments[i].variants.push_back(std::move(var));
+    }
+  }
+  std::vector<t2v::FrameState> fs;
+  double ll = 0.0;
+  if (!t2v::ViterbiAlignSegments(*m, fv, segments, nullptr, &fs, &ll)) {
+    return 1;
+  }
+  for (int k = 0; k < t; ++k) {
+    out_phone_id[k] = fs[k].phone_id;
+    out_state[k] = fs[k].state;
+    out_segment[k] = fs[k].segment;
+    out_phone_pos[k] = fs[k].phone_pos;
+  }
+  if (loglik != nullptr) *loglik = ll;
+  return 0;
+}
+
 // ---- training ----------------------------------------------------------
 
 void* t2v_trainer_create(void* model_handle) {

@@ -257,8 +257,11 @@ bool ViterbiAlignSegments(const AcousticModel& model,
   if (frame_states != nullptr) {
     frame_states->resize(t_max);
     for (int t = 0; t < t_max; ++t) {
-      (*frame_states)[t] = {lat.phone_id_of_state[state_of_t[t]],
-                            lat.state_in_phone[state_of_t[t]]};
+      const int s_t = state_of_t[t];
+      (*frame_states)[t] = {lat.phone_id_of_state[s_t],
+                            lat.state_in_phone[s_t],
+                            lat.seg_of_state[s_t],
+                            lat.phone_pos_of_state[s_t]};
     }
   }
   if (phones != nullptr) {

@@ -70,10 +70,13 @@ struct AlignedPhone {
   int end_frame = 0;   // exclusive
 };
 
-// frame -> (model phone id, state index) hard assignment, for training.
+// frame -> position on the best path, for training and state-level
+// timing output.
 struct FrameState {
   int phone_id = 0;
-  int state = 0;
+  int state = 0;      // emitting-state index within the phone
+  int segment = 0;    // segment index in the alignment request
+  int phone_pos = 0;  // phone position within the chosen variant
 };
 
 class AcousticModel {

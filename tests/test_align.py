@@ -253,3 +253,24 @@ def test_model_save_load_roundtrip(fadg0_setup, tmp_path):
     r1 = [f for f, p in aligner.align(utts[2][0], utts[2][1]).phones]
     r2 = [f for f, p in a2.align(utts[2][0], utts[2][1]).phones]
     assert r1 == r2
+
+
+@requires_reference_data
+def test_align_states_variant(fadg0_setup):
+    """State-level timing output (align_english_states.py role): one line
+    per phone at fps=30, monotone non-decreasing frames."""
+    aligner, utts, _, _ = fadg0_setup
+    ts = aligner.align_states(utts[2][0], utts[2][1])
+    frames = [f for f, _ in ts]
+    syms = [s for _, s in ts]
+    assert frames == sorted(frames)
+    # Same phone sequence as the regular alignment (modulo sp placement).
+    regular = [p for _, p in aligner.align(utts[2][0], utts[2][1]).phones
+               if p != "sp"]
+    assert [s for s in syms if s != "sp"] == regular
+    # fps=30 vs 25: state-midpoint frames land near 30/25x the phone frames.
+    reg_frames = [f for f, p in aligner.align(utts[2][0], utts[2][1]).phones
+                  if p != "sp"]
+    st_frames = [f for f, s in ts if s != "sp"]
+    ratio = np.mean([a / max(b, 1) for a, b in zip(st_frames, reg_frames)])
+    assert 0.9 < ratio < 1.6, ratio

@@ -233,6 +233,58 @@ class EnglishAligner:
     def align_file(self, wav_path: str, text: str) -> AlignmentResult:
         return self.align(load_wav_for_alignment(wav_path), text)
 
+    def align_states(
+        self,
+        samples: np.ndarray,
+        text: str,
+        sample_rate: int = ALIGN_SAMPLE_RATE,
+        fps: float = 30.0,
+    ) -> Timestamps:
+        """State-level variant (reference: align_english_states.py — HVite
+        -f per-state alignment at fps=30): each phone is emitted at the
+        midpoint of its *middle* emitting state's occupancy (HTK state s3
+        of 5 == our state index 1 of 3; single-state sp emits at its only
+        state, the reference's sp_s2)."""
+        words = transcript_words(text)
+        if not words:
+            raise ValueError("empty transcript")
+        feats = native.extract_features(samples, sample_rate)
+        segments, symbols, _ = self._segments(words)
+        _pid, state, seg, pos = native.align_frame_states(
+            self.model, feats, segments
+        )
+
+        frames = []
+        t = 0
+        t_max = len(state)
+        while t < t_max:
+            # Walk one (segment, phone_pos) run.
+            s0, p0 = seg[t], pos[t]
+            j = t
+            mid_lo = mid_hi = None
+            n_states = 0
+            while j < t_max and seg[j] == s0 and pos[j] == p0:
+                n_states = max(n_states, state[j] + 1)
+                j += 1
+            target_state = 1 if n_states >= 3 else 0
+            for k in range(t, j):
+                if state[k] == target_state:
+                    if mid_lo is None:
+                        mid_lo = k
+                    mid_hi = k + 1
+            if mid_lo is not None:
+                st = FRAME_SHIFT_S * mid_lo + TIME_OFFSET_S
+                en = FRAME_SHIFT_S * mid_hi + TIME_OFFSET_S
+                # The chosen variant is whatever the best path used; map
+                # back through any variant that has this phone position.
+                sym = None
+                for v in range(len(segments[s0][0])):
+                    sym = symbols.get((s0, v, p0), sym)
+                out_sym = "sp" if sym == "sil" else sym
+                frames.append((int(0.5 * (st + en) * fps), out_sym))
+            t = j
+        return Timestamps(entries=tuple(frames))
+
 
 # ---- acoustic model training -------------------------------------------
 

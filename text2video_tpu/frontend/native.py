@@ -107,6 +107,23 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.t2v_align_frame_states.restype = ctypes.c_int
+        lib.t2v_align_frame_states.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.t2v_trainer_create.restype = ctypes.c_void_p
         lib.t2v_trainer_create.argtypes = [ctypes.c_void_p]
         lib.t2v_trainer_free.argtypes = [ctypes.c_void_p]
@@ -306,6 +323,44 @@ def align_variants(
         tuple(int(outs[f][k]) for f in range(6)) for k in range(n)
     ]
     return records, ll.value
+
+
+def align_frame_states(
+    model: "AcousticModel",
+    feats: np.ndarray,
+    segments: Sequence[Tuple[List[List[int]], bool]],
+):
+    """Per-frame best-path positions: arrays (phone_id, state, segment,
+    phone_pos) each of length T."""
+    lib = get_lib()
+    feats = np.ascontiguousarray(feats, dtype=np.float32)
+    t = feats.shape[0]
+    seg_nv = np.asarray([len(v) for v, _ in segments], np.int32)
+    seg_skip = np.asarray([1 if s else 0 for _, s in segments], np.uint8)
+    var_lens = np.asarray(
+        [len(ids) for v, _ in segments for ids in v], np.int32
+    )
+    flat_ids = np.asarray(
+        [pid for v, _ in segments for ids in v for pid in ids], np.int32
+    )
+    outs = [np.zeros(t, np.int32) for _ in range(4)]
+    ll = ctypes.c_double()
+    rc = lib.t2v_align_frame_states(
+        model._h,
+        _as_float_ptr(feats),
+        t,
+        feats.shape[1],
+        len(segments),
+        _int_ptr(seg_nv),
+        seg_skip.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        _int_ptr(var_lens),
+        _int_ptr(flat_ids),
+        *[_int_ptr(o) for o in outs],
+        ctypes.byref(ll),
+    )
+    if rc != 0:
+        raise RuntimeError(f"frame-state alignment failed: rc={rc}")
+    return tuple(outs)
 
 
 class Trainer:

@@ -97,6 +97,40 @@ class EnergySegmenter:
         ]
 
 
+class VoskAsr:
+    """vosk (Kaldi) ASR adapter with the reference's usage pattern
+    (pinyin_timestamping.py:68-91). Gated: raises a clear error when the
+    vosk package / model directory is unavailable in the environment."""
+
+    def __init__(self, model_dir: str = "model"):
+        try:
+            from vosk import KaldiRecognizer, Model  # noqa: PLC0415
+        except ImportError as e:
+            raise RuntimeError(
+                "vosk is not installed; use EnergySegmenter or another "
+                "AsrBackend"
+            ) from e
+        self._model = Model(model_dir)
+        self._KaldiRecognizer = KaldiRecognizer
+
+    def recognize(
+        self, samples: np.ndarray, sample_rate: int
+    ) -> List[WordInterval]:
+        import json  # noqa: PLC0415
+
+        rec = self._KaldiRecognizer(self._model, sample_rate)
+        rec.SetWords(True)
+        pcm = (np.clip(samples, -1, 1) * 32767.0).astype("<i2").tobytes()
+        rec.AcceptWaveform(pcm)
+        res = json.loads(rec.FinalResult())
+        return [
+            WordInterval(
+                word=item["word"], start=item["start"], end=item["end"]
+            )
+            for item in res.get("result", [])
+        ]
+
+
 def pinyin_timestamps(
     text: str,
     intervals: Sequence[WordInterval],

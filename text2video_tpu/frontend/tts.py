@@ -55,14 +55,28 @@ class HttpTTS:
             "cuid": "text2video-tpu",
             "ctp": 1,
             "ie": "UTF-8",
+            # Request wav (aue=6) instead of the reference's mp3 — no
+            # decoder dependency (the reference needed pydub/ffmpeg,
+            # tts_request.py:54-55).
+            "aue": 6,
         }
         resp = requests.post(self.URL, data=params, timeout=30)
         resp.raise_for_status()
         if resp.headers.get("Content-Type", "").startswith("audio"):
-            raise NotImplementedError(
-                "mp3 decode requires ffmpeg/pydub; save resp.content and "
-                "convert externally, or use FormantTTS"
+            import io  # noqa: PLC0415
+
+            from text2video_tpu.frontend.audio import (  # noqa: PLC0415
+                resample,
             )
+            from scipy.io import wavfile  # noqa: PLC0415
+
+            sr, data = wavfile.read(io.BytesIO(resp.content))
+            if data.ndim == 2:
+                data = data.mean(axis=1)
+            samples = data.astype(np.float32)
+            if data.dtype == np.int16:
+                samples /= 32768.0
+            return resample(samples, int(sr), sample_rate)
         raise RuntimeError(f"TTS error response: {resp.text[:200]}")
 
 
