@@ -126,6 +126,7 @@ def train_gan(
     rng = np.random.RandomState(seed)
     t0 = time.time()
     frames_done = 0
+    last_saved = -1
     for i in range(steps):
         if device_data:
             idx = np.stack(
@@ -149,6 +150,7 @@ def train_gan(
             )
         if ckpt_dir is not None and (i + 1) % save_every == 0:
             ckpt.save_state(ckpt_dir, jax.device_get(state), cfg)
-    if ckpt_dir is not None:
+            last_saved = int(state.step)
+    if ckpt_dir is not None and int(state.step) != last_saved:
         ckpt.save_state(ckpt_dir, jax.device_get(state), cfg)
     return state
