@@ -99,3 +99,25 @@ def test_write_pinyin_dict_roundtrip(tmp_path):
     write_pinyin_dict([("ni", 3), ("hao", 9)], path)
     d = PoseDictionary.load(path, "flat")
     assert "ni" in d and "hao" in d
+
+
+def test_row_nearest_sparse_table():
+    """Sparse keypoint folders (xuesong: gaps in the frame index) clamp
+    to the nearest captured frame instead of crashing like the
+    reference's FileNotFoundError."""
+    import numpy as np
+
+    from text2video_tpu.io.dicts import KeypointTable
+
+    face = np.zeros((3, 210))
+    pose = np.zeros((3, 75))
+    hands = np.zeros((3, 2, 63))
+    has = np.zeros(3, bool)
+    index = {("", 10): 0, ("", 14): 1, ("", 30): 2}
+    t = KeypointTable(face, pose, hands, has, [{}, {}, {}], index)
+    assert t.row_nearest(("", 10)) == 0      # exact
+    assert t.row_nearest(("", 11)) == 0      # closer to 10
+    assert t.row_nearest(("", 13)) == 1      # closer to 14
+    assert t.row_nearest(("", 12)) == 0      # tie -> lower
+    assert t.row_nearest(("", 5)) == 0       # below range
+    assert t.row_nearest(("", 99)) == 2      # above range

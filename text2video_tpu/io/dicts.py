@@ -150,6 +150,42 @@ class KeypointTable:
     def has_key(self, key: Key) -> bool:
         return key in self._index
 
+    def row_nearest(self, key: Key) -> int:
+        """Row for (clip, frame), falling back to the clip's nearest
+        existing frame. The shipped Chinese keypoint folders are sparse
+        (e.g. xuesong: 2,978 files over a 0..4500 index range) — the
+        reference crashes with FileNotFoundError when the interpolation
+        window lands in a gap; clamping to the nearest captured frame
+        keeps every dictionary entry usable. Exact hits stay exact."""
+        if key in self._index:
+            return self._index[key]
+        clip, frame = key
+        frames = self._clip_frames().get(clip)
+        if not frames:
+            raise KeyError(f"no keypoint frames for clip {clip!r}")
+        import bisect
+
+        i = bisect.bisect_left(frames, frame)
+        if i == 0:
+            near = frames[0]
+        elif i >= len(frames):
+            near = frames[-1]
+        else:
+            lo, hi = frames[i - 1], frames[i]
+            near = lo if frame - lo <= hi - frame else hi
+        return self._index[(clip, near)]
+
+    def _clip_frames(self) -> Dict[str, List[int]]:
+        cache = getattr(self, "_clip_frames_cache", None)
+        if cache is None:
+            cache = {}
+            for (clip, frame) in self._index:
+                cache.setdefault(clip, []).append(frame)
+            for v in cache.values():
+                v.sort()
+            self._clip_frames_cache = cache
+        return cache
+
     def tracks_f32(self):
         """(face [N,210], pose [N,75]) as float32 jax device arrays, cached."""
         import jax.numpy as jnp

@@ -107,7 +107,7 @@ def plan_pose_track(
     tw = profile.transition_width
 
     first_key = pdict.lookup(ts[0][1])
-    first_row = table.row(first_key)
+    first_row = table.row_nearest(first_key)
 
     # Default every frame to a verbatim hold of the first key pose so that
     # degenerate inputs (e.g. a single timestamp entry, which crashes the
@@ -140,25 +140,25 @@ def plan_pose_track(
         if inter_frame_num < 2 * mw + tw:
             # Short: cross-fade the two moving key sequences.
             for n in range(d1, d2 + 1):
-                i1[n] = table.row((clip1, k1 + n - d1))
-                i2[n] = table.row((clip2, k2 + n - d2))
+                i1[n] = table.row_nearest((clip1, k1 + n - d1))
+                i2[n] = table.row_nearest((clip2, k2 + n - d2))
                 w2[n] = float(n - d1) / float(gap)
                 carrier[n] = template_row
                 verbatim[n] = False
         else:
             # Long: motion ramps copied verbatim, linear blend in between.
             for n in range(d1, d1 + mw + 1):
-                row = table.row((clip1, k1 + n - d1))
+                row = table.row_nearest((clip1, k1 + n - d1))
                 i1[n] = i2[n] = carrier[n] = row
                 w2[n] = 0.0
                 verbatim[n] = True
             for n in range(d2, d2 - mw - 1, -1):
-                row = table.row((clip2, k2 + n - d2))
+                row = table.row_nearest((clip2, k2 + n - d2))
                 i1[n] = i2[n] = carrier[n] = row
                 w2[n] = 0.0
                 verbatim[n] = True
-            ja = table.row((clip1, k1 + mw))
-            jb = table.row((clip2, k2 - mw))
+            ja = table.row_nearest((clip1, k1 + mw))
+            jb = table.row_nearest((clip2, k2 - mw))
             intv = (d2 - mw) - (d1 + mw)
             for n in range(d1 + mw + 1, d2 - mw):
                 i1[n] = ja
