@@ -121,5 +121,50 @@ def main():
     print(f"goldens written to {out}")
 
 
+def main_chinese(person="henan", text="111"):
+    """Chinese-path goldens: run the reference interp_landmarks_motion.py
+    (pinyin dictionary flavor: 2-col dict, flat keypoint index,
+    min_key_dist=3 with the strict-> rule) on a checked-in vosk timestamp
+    fixture."""
+    shutil.rmtree(os.path.dirname(SANDBOX), ignore_errors=True)
+    work = os.path.join(SANDBOX, "Text2Video")
+    os.makedirs(work)
+    for link in ["*pinyin_data", "input_timestamp", f"dict_{person}.txt"]:
+        os.symlink(os.path.join(REF, link), os.path.join(work, link))
+    ds = os.path.join(SANDBOX, "vid2vid", "datasets", person)
+    for sub in [
+        "test_openpose/tmp",
+        "test_openpose/tmp_smooth",
+        "test_img/tmp",
+        "test_img/tmp_smooth",
+    ]:
+        os.makedirs(os.path.join(ds, sub))
+
+    _stub_missing_modules()
+    sys.path.insert(0, REF)
+    sys.argv = ["interp", text, person]
+    cwd = os.getcwd()
+    os.chdir(work)
+    try:
+        runpy.run_path(
+            os.path.join(REF, "interp_landmarks_motion.py"),
+            run_name="__main__",
+        )
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(REF)
+
+    out = os.path.join(GOLDENS, f"{person}_{text}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    shutil.copytree(os.path.join(ds, "test_openpose/tmp"), os.path.join(out, "pose"))
+    shutil.copytree(
+        os.path.join(ds, "test_openpose/tmp_smooth"), os.path.join(out, "pose_smooth")
+    )
+    shutil.rmtree(os.path.dirname(SANDBOX), ignore_errors=True)
+    print(f"goldens written to {out}")
+
+
 if __name__ == "__main__":
     main()
+    main_chinese()
