@@ -205,6 +205,74 @@ class Text2VideoPipeline:
             keep_arrays=keep_arrays,
         )
 
+    def run_audio_batch(
+        self,
+        items,
+        mesh=None,
+        keep_arrays: bool = False,
+    ):
+        """Batched serving: many (text, wav_path) pairs rendered as ONE
+        sharded GAN batch (BASELINE config: "multi-utterance batch sharded
+        over ICI"). Alignment/pose/rasterization run per utterance
+        (cheap, host+device); the expensive autoregressive GAN pass pads
+        all utterances to a common length and scans them together, the
+        batch axis sharded over the mesh's "data" axis.
+
+        Returns a list of RunResult in input order.
+        """
+        import numpy as np  # noqa: PLC0415
+
+        if self.aligner is None:
+            raise RuntimeError("run_audio_batch needs an EnglishAligner")
+        cfg = self.config
+        prepped = []
+        for text, wav_path in items:
+            samples = load_wav_for_alignment(wav_path)
+            res = self.aligner.align(samples, text)
+            pose_res = self.pose_stage.run(res.phones, device=True)
+            face = pose_res.face_smooth if cfg.smooth else pose_res.face
+            pose = pose_res.pose_smooth if cfg.smooth else pose_res.pose
+            hands = self.pose_stage.table.hands[pose_res.plan.carrier]
+            labels = rasterize_batch(
+                face, pose, hands[:, 0], hands[:, 1],
+                self.profile.canvas, chunk=cfg.frame_chunk,
+            )
+            prepped.append((text, samples, res.phones, labels))
+
+        t_max = max(p[3].shape[0] for p in prepped)
+        h, w = prepped[0][3].shape[1:3]
+        batch = np.zeros((len(prepped), t_max, h, w, 3), np.uint8)
+        for i, (_, _, _, labels) in enumerate(prepped):
+            batch[i, : labels.shape[0]] = labels
+
+        if self.renderer is not None:
+            frames_b = self.renderer.render_many(batch, mesh=mesh)
+        else:
+            frames_b = batch
+
+        out_dir = os.path.join(cfg.out_dir, self.profile.name)
+        os.makedirs(out_dir, exist_ok=True)
+        results = []
+        for i, (text, samples, ts, labels) in enumerate(prepped):
+            name = derive_file_name(text)
+            t = labels.shape[0]
+            frames = frames_b[i, :t]
+            files = mux(
+                frames, samples, os.path.join(out_dir, name),
+                fps=self.profile.fps, sample_rate=ALIGN_SAMPLE_RATE,
+            )
+            results.append(
+                RunResult(
+                    name=name,
+                    num_frames=t,
+                    files=files,
+                    timestamps=ts,
+                    label_maps=labels if keep_arrays else None,
+                    frames=frames if keep_arrays else None,
+                )
+            )
+        return results
+
     def run_tts_chinese(
         self, text: str, sex: str = "f", keep_arrays: bool = False
     ) -> RunResult:
