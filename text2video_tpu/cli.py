@@ -177,6 +177,7 @@ def cmd_train_gan(args) -> int:
         width=args.width,
         base_ch=args.base_ch,
         use_vgg=not args.no_vgg,
+        lambda_l1=args.l1,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -279,6 +280,8 @@ def main(argv=None) -> int:
     p.add_argument("--base-ch", type=int, default=64)
     p.add_argument("--n-model", type=int, default=1)
     p.add_argument("--no-vgg", action="store_true")
+    p.add_argument("--l1", type=float, default=0.0,
+                   help="extra L1(fake, real) weight (0 = vid2vid-faithful)")
     p.add_argument("--device-data", action="store_true",
                    help="keep the whole dataset in HBM; per-step traffic\n"
                    "becomes a [B,T] index array (slow-link hosts)")

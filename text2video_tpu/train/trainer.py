@@ -52,6 +52,10 @@ class TrainConfig:
     lambda_flow: float = 10.0
     lambda_face: float = 1.0
     lambda_temp: float = 1.0
+    # Direct L1(fake, real) reconstruction. The vid2vid objective has no
+    # raw L1 (feature matching plays that role); enable for small-data /
+    # random-VGG regimes where it speeds early convergence.
+    lambda_l1: float = 0.0
     use_vgg: bool = True
     # Rematerialize the per-frame generator forward (and VGG) in the
     # backward pass: the T-step scan otherwise saves every frame's
@@ -247,6 +251,8 @@ def make_train_step(cfg: TrainConfig):
             + cfg.lambda_vgg * g_vgg
             + cfg.lambda_flow * g_flow
         )
+        if cfg.lambda_l1 > 0.0:
+            g_loss = g_loss + cfg.lambda_l1 * L.l1(fakes_f, reals_flat)
 
         # Discriminator objective (fakes stopped).
         d_loss = (
