@@ -40,6 +40,10 @@ const Rule kRules[] = {
     // --- a ---
     {" ", "are", " ", "AA R"},
     {" ", "a", " ", "AH"},
+    {"#^:", "a", " ", "AH"},      // final unstressed a: erica, hyperbola
+    {"", "ia", " ", "IY AH"},
+    {"", "ian", " ", "IY AH N"},
+    {"^", "man", " ", "M AH N"},  // suffix -man: fourman
     {"", "air", "", "EH R"},
     {"", "ar", "o", "AA R"},
     {"", "ar", "", "AA R"},
@@ -157,6 +161,7 @@ const Rule kRules[] = {
     {"", "e", "", "EH"},
     // --- f ---
     {"", "ful", "", "F UH L"},
+    {"^", "ford", " ", "F ER D"}, // -ford names: bickford
     {"", "ff", "", "F"},
     {"", "f", "", "F"},
     // --- g ---
@@ -231,6 +236,7 @@ const Rule kRules[] = {
     {"", "ng", "", "NG"},
     {"", "nk", "", "NG K"},
     {" ", "now", " ", "N AW"},
+    {"", "news", "", "N UW Z"},
     {"", "nn", "", "N"},
     {"", "n", "", "N"},
     // --- o ---
@@ -400,6 +406,7 @@ const Rule kRules[] = {
     {"", "whol", "", "HH OW L"},
     {"", "who", "", "HH UW"},
     {"", "wh", "", "W"},
+    {"^", "ward", "", "W ER D"},  // -ward(s): backwards
     {"", "war", "", "W AO R"},
     {"", "wor", "^", "W ER"},
     {"", "wr", "", "R"},
