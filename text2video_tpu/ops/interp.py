@@ -99,6 +99,24 @@ def plan_pose_track(
     table: KeypointTable,
     profile: PersonProfile,
 ) -> PosePlan:
+    # Symbols missing from the pose dictionary (OOV pinyin, exotic
+    # phonemes) are dropped with a warning — the reference KeyErrors.
+    unknown = sorted({s for _, s in ts if s not in pdict})
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"dropping {len(unknown)} timestamp symbols not in the pose "
+            f"dictionary: {unknown[:8]}"
+        )
+        kept = tuple((f, s) for f, s in ts if s in pdict)
+        if not kept:
+            raise KeyError(
+                f"no timestamp symbol found in the pose dictionary "
+                f"(first unknowns: {unknown[:8]})"
+            )
+        ts = Timestamps(entries=kept)
+
     first_didx = ts.first_frame
     last_didx = ts.last_frame
     num_frames = last_didx + 1
