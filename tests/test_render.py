@@ -59,3 +59,23 @@ def test_render_many_sharded_matches_single():
     batched = r.render_many(labels, mesh=mesh)
     assert batched.shape == singles.shape
     np.testing.assert_array_equal(batched, singles)
+
+
+def test_render_from_device_chunks_matches_host_path():
+    import jax.numpy as jnp
+
+    r = _tiny_renderer()
+    r.time_bucket = 4
+    rng = np.random.RandomState(5)
+    labels = rng.randint(0, 256, size=(10, 32, 32, 3), dtype=np.uint8)
+    via_host = r.render(labels)
+    # Device chunks as the rasterizer's to_host=False path would yield.
+    chunks = [
+        jnp.asarray(
+            np.pad(labels[lo : lo + 4], ((0, max(0, lo + 4 - 10)), (0, 0),
+                                         (0, 0), (0, 0)))
+        )
+        for lo in range(0, 10, 4)
+    ]
+    via_device = r.render_from_device_chunks(chunks, 10)
+    np.testing.assert_array_equal(via_host, via_device)

@@ -99,21 +99,44 @@ class Text2VideoPipeline:
         pose = result.pose_smooth if cfg.smooth else result.pose
         carrier = result.plan.carrier
         hands = self.pose_stage.table.hands[carrier]
-        with timer.stage("rasterize"):
-            labels = rasterize_batch(
-                face,
-                pose,
-                hands[:, 0],
-                hands[:, 1],
-                self.profile.canvas,
-                chunk=cfg.frame_chunk,
-            )
-
-        with timer.stage("render"):
-            if self.renderer is not None:
-                frames = self.renderer.render(labels)
-            else:
-                frames = labels  # skeleton passthrough (no trained GAN)
+        # With a GAN renderer, label chunks stay on device between the
+        # rasterizer and the generator (no host round trip); the host
+        # copy is only materialized when intermediates are requested.
+        need_host_labels = (
+            self.renderer is None or cfg.emit_intermediates or keep_arrays
+        )
+        t_frames = face.shape[0]
+        labels = None
+        if self.renderer is not None:
+            with timer.stage("rasterize"):
+                chunks = rasterize_batch(
+                    face,
+                    pose,
+                    hands[:, 0],
+                    hands[:, 1],
+                    self.profile.canvas,
+                    chunk=self.renderer.time_bucket,
+                    to_host=False,
+                )
+            with timer.stage("render"):
+                frames = self.renderer.render_from_device_chunks(
+                    chunks, t_frames
+                )
+            if need_host_labels:
+                labels = np.concatenate(
+                    [np.asarray(c) for c in chunks], axis=0
+                )[:t_frames]
+        else:
+            with timer.stage("rasterize"):
+                labels = rasterize_batch(
+                    face,
+                    pose,
+                    hands[:, 0],
+                    hands[:, 1],
+                    self.profile.canvas,
+                    chunk=cfg.frame_chunk,
+                )
+            frames = labels  # skeleton passthrough (no trained GAN)
 
         out_dir = os.path.join(cfg.out_dir, self.profile.name)
         os.makedirs(out_dir, exist_ok=True)

@@ -141,6 +141,34 @@ class Renderer:
         host = [np.asarray(c[0]) for c in chunks]
         return np.concatenate(host, axis=0)[:t]
 
+    def render_from_device_chunks(self, label_chunks, t: int) -> np.ndarray:
+        """Render directly from on-device uint8 label chunks (the
+        rasterizer's ``to_host=False`` output, chunk == time_bucket):
+        labels never round-trip to the host, which halves tunnel traffic
+        for the pipeline's rasterize->render handoff.
+
+        label_chunks: list of [time_bucket, H, W, 3] uint8 device arrays.
+        Returns [t, H, W, 3] uint8 host frames.
+        """
+        if not label_chunks:
+            raise ValueError("no label chunks")
+        h, w = label_chunks[0].shape[1:3]
+        carry = self.init_carry(1, h, w)
+        outs = []
+        done = 0
+        for chunk in label_chunks:
+            if done >= self.config.max_frames:
+                break
+            labels = (
+                chunk.astype(jnp.float32)[None] / 127.5 - 1.0
+            )  # [1, C, H, W, 3]
+            frames_u8, carry = self._render_chunk(self.params, labels, carry)
+            outs.append(frames_u8)
+            done += chunk.shape[0]
+        t = min(t, self.config.max_frames, done)
+        host = [np.asarray(c[0]) for c in outs]
+        return np.concatenate(host, axis=0)[:t]
+
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
         """[B, T, H, W, 3] uint8 -> [B, T, H, W, 3] uint8 frames.
 
