@@ -126,3 +126,21 @@ def test_device_data_mode(dataset, tmp_path):
     assert int(state.step) == 2
     assert any("device-resident" in l for l in logs)
     assert any("g_loss" in l for l in logs)
+
+
+@requires_reference_data
+def test_training_snapshots(dataset, tmp_path):
+    from text2video_tpu.train.loop import train_gan
+    from text2video_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        height=96, width=128, face_crop=24, base_ch=8, n_blocks=1,
+        d_base_ch=8, use_vgg=False, dtype=jnp.float32,
+    )
+    ckpt_dir = str(tmp_path / "ck")
+    train_gan(
+        dataset, cfg, steps=2, batch_size=2, ckpt_dir=ckpt_dir,
+        sample_every=1, log_fn=lambda s: None,
+    )
+    snaps = [f for f in os.listdir(ckpt_dir) if f.startswith("sample_")]
+    assert len(snaps) == 2

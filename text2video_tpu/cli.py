@@ -188,6 +188,7 @@ def cmd_train_gan(args) -> int:
         ckpt_dir=args.ckpt,
         n_model=args.n_model,
         device_data=args.device_data,
+        sample_every=args.sample_every,
     )
     print(json.dumps({"steps": int(state.step), "ckpt": args.ckpt}))
     return 0
@@ -282,6 +283,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-vgg", action="store_true")
     p.add_argument("--l1", type=float, default=0.0,
                    help="extra L1(fake, real) weight (0 = vid2vid-faithful)")
+    p.add_argument("--sample-every", type=int, default=0,
+                   help="write a [real|fake|label] snapshot strip every N steps")
     p.add_argument("--device-data", action="store_true",
                    help="keep the whole dataset in HBM; per-step traffic\n"
                    "becomes a [B,T] index array (slow-link hosts)")

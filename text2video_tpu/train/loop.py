@@ -9,6 +9,7 @@ wall-clock + loss logging, periodic Orbax saves.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -39,6 +40,7 @@ def train_gan(
     n_data: Optional[int] = None,
     n_model: int = 1,
     device_data: bool = False,
+    sample_every: int = 0,
     log_fn: Callable[[str], None] = print,
 ) -> TrainerState:
     """Train the pose2frame GAN; returns the final state.
@@ -123,6 +125,51 @@ def train_gan(
             donate_argnums=(0,),
         )
 
+    # Visual training snapshots (the role of vid2vid's HTML snapshot
+    # pages): render one fixed clip with the current generator and write a
+    # [real | fake | label] strip next to the checkpoints.
+    sample_fn = None
+    sample_batch = None
+    if sample_every > 0 and ckpt_dir is not None:
+        from text2video_tpu.train.trainer import _generate_clip, _models
+
+        gen = _models(cfg)[0]
+        sample_batch = dataset.batch(np.random.RandomState(123), 1)
+
+        def _sample(g_params, labels, reals):
+            fakes, _ = _generate_clip(gen, cfg, g_params, labels, reals)
+            return fakes
+
+        sample_fn = jax.jit(_sample)
+
+    def save_snapshot(step_num: int) -> None:
+        import cv2  # noqa: PLC0415
+
+        fakes = np.asarray(
+            sample_fn(
+                state.g_params,
+                sample_batch["labels"],
+                sample_batch["reals"],
+            )
+        )
+
+        def to_u8(x):
+            return np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+        strip = np.concatenate(
+            [
+                np.concatenate(list(to_u8(sample_batch["reals"][0])), axis=1),
+                np.concatenate(list(to_u8(fakes[0])), axis=1),
+                np.concatenate(list(to_u8(sample_batch["labels"][0])), axis=1),
+            ],
+            axis=0,
+        )
+        os.makedirs(ckpt_dir, exist_ok=True)
+        cv2.imwrite(
+            os.path.join(ckpt_dir, f"sample_{step_num:08d}.jpg"),
+            cv2.cvtColor(strip, cv2.COLOR_RGB2BGR),
+        )
+
     rng = np.random.RandomState(seed)
     t0 = time.time()
     frames_done = 0
@@ -148,6 +195,8 @@ def train_gan(
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                 + f" | {frames_done / dt:.1f} frames/s"
             )
+        if sample_fn is not None and (i + 1) % sample_every == 0:
+            save_snapshot(int(state.step))
         if ckpt_dir is not None and (i + 1) % save_every == 0:
             ckpt.save_state(ckpt_dir, jax.device_get(state), cfg)
             last_saved = int(state.step)
