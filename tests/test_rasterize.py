@@ -92,3 +92,29 @@ def test_empty_keypoints_draw_corner_circles_only():
     assert (img == host).all()
     assert img[0, 0].tolist() == [255, 0, 0]  # blue circle drawn last
     assert (img[100:, 100:] == 0).all()
+
+
+@requires_reference_data
+def test_device_rasterizer_highres_henan():
+    """Device vs host parity at the henan canvas (1920x1080) — catches
+    sample-count / tiling bugs that 512x384 wouldn't."""
+    golden = os.path.join(
+        os.path.dirname(__file__), "goldens", "henan_111", "pose"
+    )
+    if not os.path.isdir(golden):
+        pytest.skip("run tools/make_goldens.py first")
+    names = sorted(os.listdir(golden))[:2]
+    kfs = []
+    for name in names:
+        with open(os.path.join(golden, name)) as f:
+            kfs.append(frame_from_raw(json.load(f)))
+    size = (1920, 1080)
+    face = np.stack([k.face for k in kfs])
+    pose = np.stack([k.pose for k in kfs])
+    hl = np.stack([k.hand_l for k in kfs])
+    hr = np.stack([k.hand_r for k in kfs])
+    imgs = rasterize_batch(face, pose, hl, hr, size, chunk=2)
+    for i, k in enumerate(kfs):
+        host = rasterize_frame_host(k.face, k.pose, k.hand_l, k.hand_r, size)
+        s = _ssim(imgs[i], host)
+        assert s >= 0.96, f"frame {names[i]}: SSIM {s:.4f}"
