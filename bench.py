@@ -1,20 +1,19 @@
-"""Benchmark: pose2frame autoregressive generation throughput on one chip.
+"""Benchmarks for the pose2frame stack on one chip.
 
-North-star metric (BASELINE.md): frames/sec/chip at 512-class resolution.
-The reference renderer ran vid2vid test.py frame-by-frame on one GPU at
---loadSize 512 (reference: text2video_audio.sh:42) and published no
-throughput numbers, so the baseline bar is real-time playback: 25 fps
-(align_english.py:34).
+Default mode (what the driver runs) measures on-device autoregressive
+generation throughput at the reference's 512-class resolution
+(BASELINE.md): the reference renderer ran vid2vid test.py frame-by-frame
+on one GPU (reference: text2video_audio.sh:42) with no published numbers,
+so the baseline bar is real-time playback at 25 fps (align_english.py:34).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures on-device generation throughput of the chunked autoregressive
-scan (synchronised via a scalar pull per run). Host delivery of uint8
-frames is pipelined against compute (render.py) but on this environment's
-tunneled device transfers are not representative of production PCIe, so
-the headline metric is generation throughput.
-
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Other modes (human use):
+  --mode e2e    full text->video wall clock for a ~10 s utterance
+                (timestamps -> pose -> rasterize -> GAN -> mux), warm.
+  --mode batch  generation throughput with B=4 utterances batched.
 """
 
+import argparse
 import json
 import time
 
@@ -26,15 +25,14 @@ T = 64
 TIMED_RUNS = 3
 
 
-def main() -> None:
-    import jax
+def _gen_bench(batch: int) -> None:
     import jax.numpy as jnp
 
     from text2video_tpu.render import Renderer
 
     renderer = Renderer.create(height=H, width=W)
     rng = np.random.RandomState(0)
-    labels_u8 = rng.randint(0, 256, size=(1, T, H, W, 3), dtype=np.uint8)
+    labels_u8 = rng.randint(0, 256, size=(batch, T, H, W, 3), dtype=np.uint8)
     labels = jnp.asarray(labels_u8.astype(np.float32) / 127.5 - 1.0)
 
     def generate_once() -> None:
@@ -49,17 +47,95 @@ def main() -> None:
         generate_once()
         times.append(time.perf_counter() - t0)
 
-    fps = T / min(times)
+    fps = batch * T / min(times)
+    suffix = "" if batch == 1 else f"_b{batch}"
     print(
         json.dumps(
             {
-                "metric": "pose2frame_generation_fps_512x384_1chip",
+                "metric": f"pose2frame_generation_fps_512x384_1chip{suffix}",
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
             }
         )
     )
+
+
+def _e2e_bench() -> None:
+    """Full pipeline on a ~10 s utterance, warm wall clock vs real time."""
+    import tempfile
+
+    from text2video_tpu.config import PipelineConfig, get_profile
+    from text2video_tpu.frontend.align_english import (
+        EnglishAligner,
+        PronouncingDict,
+        train_acoustic_model,
+    )
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+    from text2video_tpu.frontend.tts import FormantTTS
+    from text2video_tpu.pipeline import Text2VideoPipeline
+    from text2video_tpu.render import Renderer
+
+    ref = "/root/reference"
+    pdict = PronouncingDict.load(f"{ref}/aligner/english/dict")
+    sa1 = "She had your dark suit in greasy wash water all year"
+    utts = [
+        (
+            load_wav_for_alignment(
+                f"{ref}/*phoneme_data/VidTIMIT/fadg0/audio/sa1.wav"
+            ),
+            sa1,
+        )
+    ]
+    model = train_acoustic_model(utts, pdict)
+    aligner = EnglishAligner(model, pdict)
+
+    text = sa1 + " " + sa1  # ~10 s of synthetic speech
+    audio = FormantTTS(pdict=pdict).synthesize(text, 16000)
+    dur_s = len(audio) / 16000.0
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pipe = Text2VideoPipeline(
+            PipelineConfig(person=get_profile("fadg0"), out_dir=tmp),
+            renderer=Renderer.create(height=H, width=W),
+            aligner=aligner,
+        )
+        res = aligner.align(audio, text)
+
+        def once():
+            return pipe.synthesize(res.phones, "bench", audio=audio)
+
+        once()  # compile + warm
+        t0 = time.perf_counter()
+        run = once()
+        wall = time.perf_counter() - t0
+
+    clip_s = run.num_frames / 25.0
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_text2video_realtime_factor_512x384_1chip",
+                "value": round(clip_s / wall, 3),
+                "unit": "x realtime (audio %.1fs, video %.1fs, wall %.2fs)"
+                % (dur_s, clip_s, wall),
+                "vs_baseline": round(clip_s / wall, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--mode", choices=["gen", "e2e", "batch"], default="gen"
+    )
+    args = parser.parse_args()
+    if args.mode == "gen":
+        _gen_bench(batch=1)
+    elif args.mode == "batch":
+        _gen_bench(batch=4)
+    else:
+        _e2e_bench()
 
 
 if __name__ == "__main__":

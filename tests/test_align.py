@@ -274,3 +274,19 @@ def test_align_states_variant(fadg0_setup):
     st_frames = [f for f, s in ts if s != "sp"]
     ratio = np.mean([a / max(b, 1) for a, b in zip(st_frames, reg_frames)])
     assert 0.9 < ratio < 1.6, ratio
+
+
+def test_number_to_words_and_spelling():
+    from text2video_tpu.frontend.textnorm import number_to_words, spell_numbers
+
+    assert number_to_words(0) == "zero"
+    assert number_to_words(14) == "fourteen"
+    assert number_to_words(42) == "forty two"
+    assert number_to_words(100) == "one hundred"
+    assert number_to_words(365) == "three hundred sixty five"
+    assert number_to_words(2024) == "two thousand twenty four"
+    assert number_to_words(1_000_000) == "one million"
+    assert spell_numbers("room 42 opens") == "room forty two opens"
+    assert transcript_words("I have 2 cats") == [
+        "I", "have", "two", "cats",
+    ]

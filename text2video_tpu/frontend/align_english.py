@@ -98,10 +98,12 @@ class PronouncingDict:
 
 
 def transcript_words(text: str) -> List[str]:
-    """Split a transcript into alignable words (punctuation stripped,
-    apostrophes kept)."""
+    """Split a transcript into alignable words: numbers spelled out (the
+    reference's saynum.c role), punctuation stripped, apostrophes kept."""
+    from text2video_tpu.frontend.textnorm import spell_numbers
+
     words = []
-    for tok in text.split():
+    for tok in spell_numbers(text).split():
         w = re.sub(r"[^A-Za-z']+", "", tok)
         if w:
             words.append(w)

@@ -40,6 +40,56 @@ def derive_file_name(text: str, strip_spaces: bool = True) -> str:
     return strip_punct(text, strip_spaces=strip_spaces)[:10]
 
 
+_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_SCALES = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand")]
+
+
+def number_to_words(n: int) -> str:
+    """Integer -> English words (the role of english2phoneme's saynum.c:
+    numbers in transcripts become alignable words)."""
+    if n < 0:
+        return "minus " + number_to_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        return _TENS[tens] + ("" if rest == 0 else " " + _ONES[rest])
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        out = _ONES[hundreds] + " hundred"
+        return out if rest == 0 else out + " " + number_to_words(rest)
+    for scale, word in _SCALES:
+        if n >= scale:
+            major, rest = divmod(n, scale)
+            out = number_to_words(major) + " " + word
+            return out if rest == 0 else out + " " + number_to_words(rest)
+    return _ONES[0]
+
+
+_DIGIT_RUN_RE = re.compile(r"\d+")
+
+
+def spell_numbers(text: str) -> str:
+    """Replace digit runs with English words (19-digit cap; longer runs
+    are spelled digit by digit)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        s = m.group(0)
+        if len(s) > 19:
+            return " ".join(_ONES[int(c)] for c in s)
+        return number_to_words(int(s))
+
+    return _DIGIT_RUN_RE.sub(sub, text)
+
+
 def clean_transcript_words(text: str) -> list:
     """Word list for forced alignment, mirroring the aligner's transcript
     cleanup (reference: align_english.py:36-50): selected ASCII punctuation
