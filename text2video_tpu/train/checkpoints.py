@@ -23,8 +23,13 @@ from text2video_tpu.train.trainer import TrainConfig, TrainerState
 
 
 def save_state(
-    ckpt_dir: str, state: TrainerState, cfg: Optional[TrainConfig] = None
+    ckpt_dir: str,
+    state: TrainerState,
+    cfg: Optional[TrainConfig] = None,
+    keep_last: int = 3,
 ) -> None:
+    """Save a step checkpoint; retain only the newest ``keep_last``
+    (a full trainer state is ~0.7 GB at production size)."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     if cfg is not None:
@@ -39,6 +44,14 @@ def save_state(
             os.path.join(ckpt_dir, f"step_{int(state.step):08d}"),
             jax.tree.map(np.asarray, state),
         )
+    if keep_last > 0:
+        import shutil
+
+        steps = sorted(
+            d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        )
+        for old in steps[:-keep_last]:
+            shutil.rmtree(os.path.join(ckpt_dir, old), ignore_errors=True)
 
 
 def load_config(ckpt_dir: str) -> Optional[dict]:
