@@ -75,8 +75,60 @@ def restore_state(ckpt_dir: str, template: TrainerState) -> TrainerState:
     path = latest_step_dir(ckpt_dir)
     if path is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    with ocp.StandardCheckpointer() as ck:
-        return ck.restore(path, template)
+    try:
+        with ocp.StandardCheckpointer() as ck:
+            return ck.restore(path, template)
+    except Exception:
+        # Architecture-migration fallback (e.g. pre-merged-head
+        # checkpoints): restore raw, migrate generator params, keep
+        # discriminators/VGG/step, re-init optimizer moments.
+        with ocp.PyTreeCheckpointer() as ck:
+            raw = ck.restore(path)
+        import jax.numpy as jnp
+
+        g_params = jax.tree.map(
+            jnp.asarray, migrate_generator_params(raw["g_params"])
+        )
+        d_params = jax.tree.map(jnp.asarray, raw["d_params"])
+        vgg = raw.get("vgg_params")
+        if vgg is not None:
+            vgg = jax.tree.map(jnp.asarray, vgg)
+        return template.replace(
+            step=jnp.asarray(raw["step"], jnp.int32),
+            g_params=g_params,
+            d_params=d_params,
+            vgg_params=vgg if vgg is not None else template.vgg_params,
+        )
+
+
+def migrate_generator_params(g_params: Any) -> Any:
+    """Upgrade pre-merged-head generator params: the separate
+    img/flow/mask 7x7 head convs concatenate (on the output-channel axis)
+    into the single "heads" conv — mathematically identical."""
+    p = g_params["params"] if "params" in g_params else g_params
+    if "img_head" not in p:
+        return g_params
+    heads = {
+        "kernel": np.concatenate(
+            [
+                np.asarray(p["img_head"]["kernel"]),
+                np.asarray(p["flow_head"]["kernel"]),
+                np.asarray(p["mask_head"]["kernel"]),
+            ],
+            axis=-1,
+        ),
+        "bias": np.concatenate(
+            [
+                np.asarray(p["img_head"]["bias"]),
+                np.asarray(p["flow_head"]["bias"]),
+                np.asarray(p["mask_head"]["bias"]),
+            ]
+        ),
+    }
+    new = {k: v for k, v in p.items()
+           if k not in ("img_head", "flow_head", "mask_head")}
+    new["heads"] = heads
+    return {"params": new} if "params" in g_params else new
 
 
 def restore_generator_params(ckpt_dir: str) -> Any:
@@ -86,7 +138,7 @@ def restore_generator_params(ckpt_dir: str) -> Any:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     with ocp.PyTreeCheckpointer() as ck:
         tree = ck.restore(path)
-    return tree["g_params"]
+    return migrate_generator_params(tree["g_params"])
 
 
 def load_renderer(ckpt_dir: str, profile: PersonProfile):
