@@ -106,6 +106,16 @@ def migrate_generator_params(g_params: Any) -> Any:
     img/flow/mask 7x7 head convs concatenate (on the output-channel axis)
     into the single "heads" conv — mathematically identical."""
     p = g_params["params"] if "params" in g_params else g_params
+    trunk = p.get("GlobalTrunk_0", {})
+    if "ConvBlock_1" in trunk and "Conv_0" in trunk.get("ConvBlock_1", {}):
+        k1 = np.shape(trunk["ConvBlock_0"]["Conv_0"]["kernel"])
+        k2 = np.shape(trunk["ConvBlock_1"]["Conv_0"]["kernel"])
+        if len(k1) == 4 and len(k2) == 4 and k1[:2] == (7, 7) and k2[:2] == (7, 7):
+            raise ValueError(
+                "checkpoint uses the legacy two-branch encoder; it cannot "
+                "be migrated exactly to the single-encoder generator — "
+                "retrain (train-gan) to produce a current checkpoint"
+            )
     if "img_head" not in p:
         return g_params
     heads = {
