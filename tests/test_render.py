@@ -79,3 +79,18 @@ def test_render_from_device_chunks_matches_host_path():
     ]
     via_device = r.render_from_device_chunks(chunks, 10)
     np.testing.assert_array_equal(via_host, via_device)
+
+
+def test_render_load_size_scale_height():
+    """RenderConfig.load_size resizes labels to the GAN's working height
+    (the reference's --resize_or_crop scaleHeight --loadSize)."""
+    r = Renderer.create(
+        height=64, width=64, base_ch=8, n_blocks=1, dtype=jnp.float32,
+        config=RenderConfig(load_size=64),
+    )
+    r.time_bucket = 4
+    assert r.target_hw(128, 192) == (64, 128)  # scaleHeight + /64 rounding
+    assert r.target_hw(64, 64) == (64, 64)     # already at load_size
+    labels = np.zeros((4, 128, 192, 3), np.uint8)
+    frames = r.render(labels)
+    assert frames.shape == (4, 64, 128, 3)

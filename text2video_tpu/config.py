@@ -130,7 +130,11 @@ class RenderConfig:
     --no_first_img --dataset_mode pose --input_nc 3.
     """
 
-    load_size: int = 512  # short-side resize target
+    # Resize label maps so height == load_size before the GAN (the
+    # reference's --resize_or_crop scaleHeight --loadSize 512,
+    # text2video_audio.sh:42). None = render at the canvas resolution
+    # (matches a canvas-native trained model, e.g. fadg0 at 512x384).
+    load_size: Optional[int] = None
     max_frames: int = 1200
     n_frames_ctx: int = 3  # generator conditions on this many label maps
     use_prev_frames: int = 2  # autoregressive context frames

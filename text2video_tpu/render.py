@@ -88,9 +88,28 @@ class Renderer:
         )
         return (new_prev_imgs, new_prev_labels, step + 1), frame
 
+    def target_hw(self, h: int, w: int):
+        """GAN working resolution for a (h, w) canvas: scaleHeight to
+        config.load_size (multiples of 64 keep XLA tilings happy), or the
+        canvas itself when load_size is None."""
+        ls = self.config.load_size
+        if ls is None or h == ls:
+            return h, w
+        h2 = max(round(ls / 64) * 64, 64)
+        w2 = max(round(w * h2 / h / 64) * 64, 64)
+        return h2, w2
+
     def _render_chunk_impl(self, params, labels, carry):
-        """labels: [B, chunk, H, W, 3] in [-1,1] -> (uint8 frames, carry)."""
-        labels_t = jnp.moveaxis(labels.astype(jnp.float32), 1, 0)
+        """labels: [B, chunk, H, W, 3] in [-1,1] -> (uint8 frames, carry).
+        Labels are resized on device to the working resolution first."""
+        b, c, h, w, _ = labels.shape
+        h2, w2 = self.target_hw(h, w)
+        labels = labels.astype(jnp.float32)
+        if (h2, w2) != (h, w):
+            labels = jax.image.resize(
+                labels, (b, c, h2, w2, 3), method="linear"
+            )
+        labels_t = jnp.moveaxis(labels, 1, 0)
 
         def step_fn(c, lab):
             return self._scan_step(params, c, lab)
@@ -116,7 +135,7 @@ class Renderer:
         """[B, T, H, W, 3] labels in [-1,1] -> list of [B, chunk, H, W, 3]
         uint8 device arrays (last chunk padded). No host transfer."""
         b, t, h, w, _ = labels_norm.shape
-        carry = self.init_carry(b, h, w)
+        carry = self.init_carry(b, *self.target_hw(h, w))
         chunks = []
         for lo in range(0, t, self.time_bucket):
             hi = min(t, lo + self.time_bucket)
@@ -153,7 +172,7 @@ class Renderer:
         if not label_chunks:
             raise ValueError("no label chunks")
         h, w = label_chunks[0].shape[1:3]
-        carry = self.init_carry(1, h, w)
+        carry = self.init_carry(1, *self.target_hw(h, w))
         outs = []
         done = 0
         for chunk in label_chunks:
