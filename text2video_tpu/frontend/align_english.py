@@ -28,7 +28,6 @@ mixture splitting) from any (wav, transcript) recordings.
 from __future__ import annotations
 
 import dataclasses
-import os
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 

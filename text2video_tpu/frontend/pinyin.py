@@ -15,7 +15,7 @@ syllables. pypinyin is not in this environment, so this module provides:
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List
+from typing import Dict, List
 
 # Common-character table (toneless). Covers the demo dictionaries'
 # vocabulary (prompts/all_pinyin.txt syllable inventory) for everyday

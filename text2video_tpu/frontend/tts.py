@@ -17,7 +17,7 @@ download, pydub mp3->wav). Backends:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Protocol, Tuple
+from typing import List, Optional, Protocol
 
 import numpy as np
 

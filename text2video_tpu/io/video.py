@@ -16,11 +16,10 @@ ffmpeg binary, so audio muxing is self-contained:
 
 from __future__ import annotations
 
-import os
 import shutil
 import struct
 import subprocess
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import cv2
 import numpy as np

@@ -10,7 +10,7 @@ MXU; the multiscale pyramid reuses one tower definition per scale.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from text2video_tpu.models.layers import (
     ConvBlock,
-    InstanceNorm,
     ResBlock,
     Upsample,
     downscale2x,

@@ -11,7 +11,7 @@ Conventions (TPU-first):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

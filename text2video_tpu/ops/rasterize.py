@@ -53,7 +53,7 @@ SSIM > 0.98 on the golden frames.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
