@@ -145,3 +145,121 @@ def smooth_device_jit(face, pose, smooth_width: int = 4):
     return jax.jit(
         lambda f, p: smooth_device(f, p, smooth_width)
     )(face, pose)
+
+
+def smooth_fir_host(
+    face: np.ndarray, pose: np.ndarray, smooth_width: int = 4
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Non-recursive (FIR) variant: the window always reads ORIGINAL
+    neighbor values. This is what the reference's loop would compute
+    without its mutate-while-iterating quirk; it admits exact temporal
+    sharding (see smooth_fir_sharded) because no cross-frame dependency
+    chain exists. Mouth re-pin semantics are identical."""
+    T = face.shape[0]
+    out_f = np.empty_like(face)
+    out_p = np.empty_like(pose)
+    for idx in range(T):
+        sum_fc = np.zeros(210, dtype=np.float64)
+        sum_ps = np.zeros(75, dtype=np.float64)
+        sum_w = 0.0
+        for s in range(-smooth_width, smooth_width):
+            sidx = s + idx
+            if 0 <= sidx < T:
+                wt = 1.0 / (abs(s) + 1.0)
+                sum_fc += face[sidx] * wt
+                sum_ps += pose[sidx] * wt
+                sum_w += wt
+        ave_fc = sum_fc / sum_w
+        ave_ps = sum_ps / sum_w
+        orig = face[idx]
+        c_t = ave_fc.reshape(70, 3)[MOUTH_CENTER_LO:MOUTH_CENTER_HI].mean(0)
+        c_s = orig.reshape(70, 3)[MOUTH_CENTER_LO:MOUTH_CENTER_HI].mean(0)
+        off = c_t - c_s
+        ave3 = ave_fc.reshape(70, 3).copy()
+        ave3[MOUTH_LO:MOUTH_HI, 0] = orig.reshape(70, 3)[MOUTH_LO:MOUTH_HI, 0] + off[0]
+        ave3[MOUTH_LO:MOUTH_HI, 1] = orig.reshape(70, 3)[MOUTH_LO:MOUTH_HI, 1] + off[1]
+        ave3[MOUTH_LO:MOUTH_HI, 2] = orig.reshape(70, 3)[MOUTH_LO:MOUTH_HI, 2]
+        out_f[idx] = ave3.reshape(-1)
+        out_p[idx] = ave_ps
+    return out_f, out_p
+
+
+def smooth_fir_sharded(face, pose, mesh, smooth_width: int = 4):
+    """FIR smoothing with the time axis sharded over the mesh's "data"
+    axis: each chip smooths its local frame block after a +-smooth_width
+    halo exchange with its ring neighbors over ICI (``ppermute``) — the
+    sharded-convolution-with-halo pattern from SURVEY.md §2.5 for
+    utterances that span chips.
+
+    face [T, 210], pose [T, 75] float32; T must divide by the data-axis
+    size. Returns smoothed arrays matching smooth_fir_host.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    sw = smooth_width
+    n = mesh.shape["data"]
+    T = face.shape[0]
+    if T % n != 0:
+        raise ValueError(f"T={T} must divide over {n} shards")
+
+    def local(face_blk, pose_blk):
+        # face_blk: [T/n, D]. Halo exchange around the ring; edge shards
+        # receive garbage halos that the validity mask zeroes out.
+        axis = "data"
+        idx = jax.lax.axis_index(axis)
+        tl = face_blk.shape[0]
+
+        def with_halo(x):
+            left = jax.lax.ppermute(
+                x[-sw:], axis, [(i, (i + 1) % n) for i in range(n)]
+            )
+            right = jax.lax.ppermute(
+                x[:sw], axis, [(i, (i - 1) % n) for i in range(n)]
+            )
+            return jnp.concatenate([left, x, right], axis=0)
+
+        face_ext = with_halo(face_blk)  # [tl + 2sw, D]
+        pose_ext = with_halo(pose_blk)
+
+        t_global = idx * tl + jnp.arange(tl)  # [tl]
+        offsets = jnp.arange(-sw, sw)  # [2sw]
+        valid = (
+            (t_global[:, None] + offsets[None, :] >= 0)
+            & (t_global[:, None] + offsets[None, :] < T)
+        ).astype(jnp.float32)
+        w = (1.0 / (jnp.abs(offsets) + 1.0))[None, :] * valid  # [tl, 2sw]
+
+        # Gather windows from the halo'd block: row t reads ext[t + sw + s].
+        rows = jnp.arange(tl)[:, None] + sw + offsets[None, :]  # [tl, 2sw]
+        fwin = face_ext[rows]  # [tl, 2sw, D]
+        pwin = pose_ext[rows]
+        sum_w = jnp.sum(w, axis=1, keepdims=True)
+        ave_f = jnp.einsum("ts,tsd->td", w, fwin) / sum_w
+        ave_p = jnp.einsum("ts,tsd->td", w, pwin) / sum_w
+
+        # Mouth re-pin (same formula as the sequential paths).
+        a3 = ave_f.reshape(tl, 70, 3)
+        o3 = face_blk.reshape(tl, 70, 3)
+        c_t = a3[:, MOUTH_CENTER_LO:MOUTH_CENTER_HI].mean(axis=1)
+        c_s = o3[:, MOUTH_CENTER_LO:MOUTH_CENTER_HI].mean(axis=1)
+        off = (c_t - c_s).at[:, 2].set(0.0)
+        shifted = o3[:, MOUTH_LO:MOUTH_HI] + off[:, None, :]
+        a3 = a3.at[:, MOUTH_LO:MOUTH_HI].set(shifted)
+        return a3.reshape(tl, -1), ave_p
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data", None)),
+        out_specs=(P("data", None), P("data", None)),
+    )
+    face = jax.device_put(
+        jnp.asarray(face, jnp.float32), NamedSharding(mesh, P("data", None))
+    )
+    pose = jax.device_put(
+        jnp.asarray(pose, jnp.float32), NamedSharding(mesh, P("data", None))
+    )
+    return jax.jit(sharded)(face, pose)
