@@ -123,6 +123,28 @@ def cmd_audio(args) -> int:
     return 0
 
 
+def cmd_audio_batch(args) -> int:
+    """Batched serving: many (text, wav) pairs as one sharded GAN batch."""
+    if len(args.pairs) % 2 != 0:
+        raise SystemExit("pairs must be 'text 1' wav1 'text 2' wav2 ...")
+    args.text = args.pairs[0]  # satisfy _build_pipeline's profile lookup
+    pipe = _build_pipeline(args, need_aligner=True)
+    items = [
+        (args.pairs[i], args.pairs[i + 1])
+        for i in range(0, len(args.pairs), 2)
+    ]
+    results = pipe.run_audio_batch(items)
+    print(
+        json.dumps(
+            [
+                {"name": r.name, "frames": r.num_frames, "files": r.files}
+                for r in results
+            ]
+        )
+    )
+    return 0
+
+
 def cmd_tts_chinese(args) -> int:
     pipe = _build_pipeline(args, need_aligner=False)
     run = pipe.run_tts_chinese(args.text, args.sex)
@@ -241,6 +263,19 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--wav", default=None, help="recorded wav path")
     p.set_defaults(fn=cmd_audio)
+
+    p = sub.add_parser(
+        "audio-batch", help="many (text, wav) pairs -> one sharded GAN batch"
+    )
+    p.add_argument("person")
+    p.add_argument("--out", default="./output")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--aligner-model", default=None)
+    p.add_argument("--gan-checkpoint", default=None)
+    p.add_argument("--no-smooth", action="store_true")
+    p.add_argument("--emit-intermediates", action="store_true")
+    p.add_argument("pairs", nargs="+", help="'text 1' wav1 'text 2' wav2 ...")
+    p.set_defaults(fn=cmd_audio_batch)
 
     p = sub.add_parser("tts-chinese", help="Mandarin text -> video")
     _add_common(p)
