@@ -121,3 +121,14 @@ def test_row_nearest_sparse_table():
     assert t.row_nearest(("", 12)) == 0      # tie -> lower
     assert t.row_nearest(("", 5)) == 0       # below range
     assert t.row_nearest(("", 99)) == 2      # above range
+
+
+@requires_reference_data
+def test_load_prompts_and_coverage():
+    from text2video_tpu.dictbuild import load_prompts, prompt_coverage
+
+    prompts = load_prompts(f"{REFERENCE_DIR}/prompts/all_pinyin.txt")
+    assert len(prompts) >= 400
+    assert "zhong" in prompts
+    missing = prompt_coverage(prompts, [("zhong", 5)])
+    assert "zhong" not in missing and len(missing) == len(prompts) - 1

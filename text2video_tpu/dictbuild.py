@@ -139,3 +139,20 @@ def write_pinyin_dict(entries: Sequence[Tuple[str, int]], path: str) -> None:
     with open(path, "w") as f:
         for sym, frame in entries:
             f.write(f"{sym} {frame}\n")
+
+
+def load_prompts(path: str) -> List[str]:
+    """Recording-prompt list for capturing a new person's dictionary
+    (reference: prompts/all_pinyin.txt — 408 syllables the subject reads
+    on camera, README.md:113-115). One prompt token per line."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def prompt_coverage(
+    prompts: Sequence[str], entries: Sequence[Tuple[str, int]]
+) -> List[str]:
+    """Prompts not yet covered by a built dictionary — what still needs
+    recording."""
+    have = {sym for sym, _ in entries}
+    return [p for p in prompts if p not in have]
