@@ -71,6 +71,21 @@ def latest_step_dir(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
+def _is_legacy_layout(raw: dict, template: TrainerState) -> bool:
+    """True when the raw tree is a known older architecture: separate
+    img/flow/mask head convs, or fewer discriminators than the template
+    (e.g. round-1 single-rate temporal D)."""
+    g = raw.get("g_params") or {}
+    p = g.get("params", g)
+    if "img_head" in p:
+        return True
+    raw_d = raw.get("d_params")
+    if isinstance(raw_d, dict) and isinstance(template.d_params, dict):
+        if set(raw_d) < set(template.d_params):
+            return True
+    return False
+
+
 def restore_state(ckpt_dir: str, template: TrainerState) -> TrainerState:
     path = latest_step_dir(ckpt_dir)
     if path is None:
@@ -79,17 +94,32 @@ def restore_state(ckpt_dir: str, template: TrainerState) -> TrainerState:
         with ocp.StandardCheckpointer() as ck:
             return ck.restore(path, template)
     except Exception:
-        # Architecture-migration fallback (e.g. pre-merged-head
-        # checkpoints): restore raw, migrate generator params, keep
-        # discriminators/VGG/step, re-init optimizer moments.
+        # Architecture-migration fallback: restore raw, migrate generator
+        # params, keep discriminators/VGG/step, re-init optimizer moments.
+        # Only known legacy layouts migrate — anything else (corrupt
+        # checkpoint, dtype drift) re-raises rather than silently
+        # resetting Adam moments.
         with ocp.PyTreeCheckpointer() as ck:
             raw = ck.restore(path)
+        if not _is_legacy_layout(raw, template):
+            raise
+        import logging
+
         import jax.numpy as jnp
 
+        logging.getLogger(__name__).warning(
+            "migrating legacy checkpoint %s: optimizer state re-initialized",
+            path,
+        )
         g_params = jax.tree.map(
             jnp.asarray, migrate_generator_params(raw["g_params"])
         )
         d_params = jax.tree.map(jnp.asarray, raw["d_params"])
+        if isinstance(d_params, dict) and isinstance(template.d_params, dict):
+            # New discriminators (e.g. the stride-2 temporal D) start
+            # from the template's fresh init.
+            for k, v in template.d_params.items():
+                d_params.setdefault(k, v)
         vgg = raw.get("vgg_params")
         if vgg is not None:
             vgg = jax.tree.map(jnp.asarray, vgg)
@@ -165,8 +195,13 @@ def load_renderer(ckpt_dir: str, profile: PersonProfile):
         n_blocks=int(meta.get("n_blocks", 9)),
         dtype=jnp.bfloat16,
     )
+    # Run the GAN at its *trained* height: a checkpoint trained at e.g.
+    # 512 drives a 1080p-canvas person through the scaleHeight-512 path
+    # (reference: --loadSize 512 --resize_or_crop scaleHeight,
+    # text2video_audio.sh:42), not at the person's canvas resolution.
+    load_size = int(meta["height"]) if "height" in meta else None
     return Renderer(
         generator=gen,
         params=restore_generator_params(ckpt_dir),
-        config=RenderConfig(),
+        config=RenderConfig(load_size=load_size),
     )

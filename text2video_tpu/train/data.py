@@ -86,8 +86,15 @@ class PoseClipDataset:
             m = _STEM_RE.match(f.stem)
             clip = m.group("clip") if m else "all"
             runs.setdefault(clip, []).append(f)
+        # Order run members by the *integer* frame index — lexicographic
+        # stem order scrambles non-zero-padded numbering (clip_2 after
+        # clip_10), corrupting temporal supervision.
+        def frame_key(f: _Frame):
+            m = _STEM_RE.match(f.stem)
+            return (int(m.group("frame")), f.stem) if m else (0, f.stem)
+
         self.clips = [
-            sorted(v, key=lambda f: f.stem)
+            sorted(v, key=frame_key)
             for v in runs.values()
             if len(v) >= clip_len
         ]

@@ -8,10 +8,13 @@ README.md:173). The generator unrolls autoregressively over T inside
 frame, a temporal discriminator scores stacked triples, and a face
 discriminator scores crops around the mouth centre (``--add_face_disc``).
 
-G and D updates are computed in the same jitted program from one forward
-pass (fakes are re-used, stop-gradient'd for the D loss). Under pjit the
-batch axis shards over the mesh "data" axis; gradient all-reduces ride
-ICI.
+G and D updates are computed in the same jitted program from ONE
+generator forward: the G objective unrolls the generator and returns the
+fakes as auxiliary output; the D objective re-applies only the (cheap)
+discriminators to those fakes as constants — matching vid2vid's
+detach-the-images G/D alternation without a second generator unroll.
+Under pjit the batch axis shards over the mesh "data" axis; gradient
+all-reduces ride ICI.
 """
 
 from __future__ import annotations
@@ -40,6 +43,10 @@ class TrainConfig:
     n_frames_ctx: int = 3  # label maps fed to G (current + 2 previous)
     use_prev_frames: int = 2
     temporal_window: int = 3  # frames stacked for the temporal D
+    # Temporal D rates: stride-1 plus coarser strides (vid2vid scores
+    # temporally downsampled stacks at multiple rates; reference README
+    # trains with n_scales_temporal >= 2). Each rate has its own D.
+    temporal_strides: Tuple[int, ...] = (1, 2)
     face_crop: int = 96
     base_ch: int = 64
     n_blocks: int = 9
@@ -71,6 +78,12 @@ class TrainerState(flax.struct.PyTreeNode):
     vgg_params: Any
     g_opt: Any
     d_opt: Any
+
+
+def _temporal_key(stride: int) -> str:
+    """d_params key for the stride-``s`` temporal D ("temporal" for the
+    original stride-1 D, so round-1 checkpoints keep loading)."""
+    return "temporal" if stride == 1 else f"temporal{stride}"
 
 
 def _models(cfg: TrainConfig):
@@ -106,13 +119,15 @@ def create_trainer_state(
     g_params = gen.init(kg, labels, prev, jnp.ones((1,)))
     d_params = {
         "image": d_image.init(ki, jnp.zeros((1, h, w, 6))),
-        "temporal": d_temporal.init(
-            kt, jnp.zeros((1, h, w, 3 * cfg.temporal_window))
-        ),
         "face": d_face.init(
             kf, jnp.zeros((1, cfg.face_crop, cfg.face_crop, 6))
         ),
     }
+    for i, s in enumerate(cfg.temporal_strides):
+        d_params[_temporal_key(s)] = d_temporal.init(
+            jax.random.fold_in(kt, i),
+            jnp.zeros((1, h, w, 3 * cfg.temporal_window)),
+        )
     if cfg.use_vgg and vgg_params is None:
         vgg_params = {
             "params": vgg.init(kv, jnp.zeros((1, 64, 64, 3)))["params"]
@@ -166,10 +181,19 @@ def _flatten_bt(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
-def _temporal_stack(x, window: int):
-    """[B, T, H, W, C] -> [B*(T-window+1), H, W, C*window]."""
+def _temporal_stack(x, window: int, stride: int = 1):
+    """[B, T, H, W, C] -> [B*n, H, W, C*window] stacks of ``window``
+    frames spaced ``stride`` apart (vid2vid's temporally-downsampled
+    discriminator inputs; stride 1 = consecutive frames)."""
     b, t, h, w, c = x.shape
-    slices = [x[:, i : t - window + 1 + i] for i in range(window)]
+    span = (window - 1) * stride + 1
+    n = t - span + 1
+    if n <= 0:
+        raise ValueError(
+            f"clip length {t} too short for temporal window {window} "
+            f"at stride {stride}"
+        )
+    slices = [x[:, i * stride : i * stride + n] for i in range(window)]
     stacked = jnp.concatenate(slices, axis=-1)
     return stacked.reshape((-1, h, w, c * window))
 
@@ -190,7 +214,33 @@ def make_train_step(cfg: TrainConfig):
             jnp.concatenate([labels_f, frames_f], axis=-1),
         )
 
-    def forward_losses(g_params, d_params, vgg_params, batch):
+    def apply_discriminators(d_params, labels_f, frames, frames_f, centers_f):
+        """Run every discriminator on one set of frames.
+
+        frames: [B,T,H,W,3] float32 (for temporal stacks), frames_f the
+        [B*T,...] flattening of the same. Returns (image_out,
+        [temporal_out per stride], face_out)."""
+        d_out = d_apply_pairs(d_params, labels_f, frames_f)
+        # Coarser strides only apply when the clip is long enough to fit
+        # the stretched window (e.g. tiny test clips run stride 1 only).
+        t_outs = [
+            d_temporal.apply(
+                d_params[_temporal_key(s)],
+                _temporal_stack(frames, cfg.temporal_window, s),
+            )
+            for s in cfg.temporal_strides
+            if (cfg.temporal_window - 1) * s + 1 <= frames.shape[1]
+        ]
+        lab_crop = face_crop(labels_f, centers_f, cfg.face_crop)
+        crop = face_crop(frames_f, centers_f, cfg.face_crop)
+        f_out = d_face.apply(
+            d_params["face"], jnp.concatenate([lab_crop, crop], -1)
+        )
+        return d_out, t_outs, f_out
+
+    def g_objective(g_params, d_params, vgg_params, batch):
+        """Full generator unroll + all G losses. Returns the fakes as aux
+        so the D objective never re-runs the generator."""
         labels, reals = batch["labels"], batch["reals"]
         centers = batch["face_centers"]
         fakes, flows = _generate_clip(gen, cfg, g_params, labels, reals)
@@ -201,34 +251,15 @@ def make_train_step(cfg: TrainConfig):
         reals_flat = _flatten_bt(reals_f32)
         centers_f = _flatten_bt(centers)
 
-        # Image D on (label, frame) pairs.
-        d_fake = d_apply_pairs(d_params, labels_f, fakes_f)
+        d_fake, t_fakes, f_fake = apply_discriminators(
+            d_params, labels_f, fakes, fakes_f, centers_f
+        )
+        # Image-D real features are only needed as FM targets here.
         d_real = d_apply_pairs(d_params, labels_f, reals_flat)
 
-        # Temporal D on stacked consecutive frames.
-        t_fake = d_temporal.apply(
-            d_params["temporal"], _temporal_stack(fakes, cfg.temporal_window)
-        )
-        t_real = d_temporal.apply(
-            d_params["temporal"],
-            _temporal_stack(reals_f32, cfg.temporal_window),
-        )
-
-        # Face D on (label-crop, frame-crop) pairs around the mouth centre.
-        lab_crop = face_crop(labels_f, centers_f, cfg.face_crop)
-        fake_crop = face_crop(fakes_f, centers_f, cfg.face_crop)
-        real_crop = face_crop(reals_flat, centers_f, cfg.face_crop)
-        f_fake = d_face.apply(
-            d_params["face"], jnp.concatenate([lab_crop, fake_crop], -1)
-        )
-        f_real = d_face.apply(
-            d_params["face"], jnp.concatenate([lab_crop, real_crop], -1)
-        )
-
-        # Generator objective.
         g_adv = (
             L.lsgan_g(d_fake)
-            + cfg.lambda_temp * L.lsgan_g(t_fake)
+            + cfg.lambda_temp * sum(L.lsgan_g(t) for t in t_fakes)
             + cfg.lambda_face * L.lsgan_g(f_fake)
         )
         g_fm = L.feature_matching(d_real, d_fake)
@@ -254,39 +285,46 @@ def make_train_step(cfg: TrainConfig):
         if cfg.lambda_l1 > 0.0:
             g_loss = g_loss + cfg.lambda_l1 * L.l1(fakes_f, reals_flat)
 
-        # Discriminator objective (fakes stopped).
-        d_loss = (
-            L.lsgan_d(d_real, jax.tree.map(jax.lax.stop_gradient, d_fake))
-            + L.lsgan_d(t_real, jax.tree.map(jax.lax.stop_gradient, t_fake))
-            + L.lsgan_d(f_real, jax.tree.map(jax.lax.stop_gradient, f_fake))
-        )
         metrics = {
             "g_loss": g_loss,
-            "d_loss": d_loss,
             "g_adv": g_adv,
             "g_fm": g_fm,
             "g_vgg": g_vgg,
             "g_flow": g_flow,
         }
-        return g_loss, d_loss, metrics
+        return g_loss, (metrics, fakes)
+
+    def d_objective(d_params, batch, fakes):
+        """Discriminator losses only — ``fakes`` enter as constants (the
+        detached images), so all D gradients are live on both the real
+        and the fake terms."""
+        labels, reals = batch["labels"], batch["reals"]
+        centers = batch["face_centers"]
+        reals_f32 = reals.astype(jnp.float32)
+        labels_f = _flatten_bt(labels).astype(jnp.float32)
+        fakes_f = _flatten_bt(fakes)
+        reals_flat = _flatten_bt(reals_f32)
+        centers_f = _flatten_bt(centers)
+        d_fake, t_fakes, f_fake = apply_discriminators(
+            d_params, labels_f, fakes, fakes_f, centers_f
+        )
+        d_real, t_reals, f_real = apply_discriminators(
+            d_params, labels_f, reals_f32, reals_flat, centers_f
+        )
+        return (
+            L.lsgan_d(d_real, d_fake)
+            + sum(L.lsgan_d(tr, tf) for tr, tf in zip(t_reals, t_fakes))
+            + L.lsgan_d(f_real, f_fake)
+        )
 
     def step(state: TrainerState, batch) -> Tuple[TrainerState, Dict]:
-        def g_objective(g_params):
-            g_loss, _, metrics = forward_losses(
-                g_params, state.d_params, state.vgg_params, batch
-            )
-            return g_loss, metrics
-
-        def d_objective(d_params):
-            _, d_loss, _ = forward_losses(
-                state.g_params, d_params, state.vgg_params, batch
-            )
-            return d_loss
-
-        (g_loss, metrics), g_grads = jax.value_and_grad(
+        (g_loss, (metrics, fakes)), g_grads = jax.value_and_grad(
             g_objective, has_aux=True
-        )(state.g_params)
-        d_loss, d_grads = jax.value_and_grad(d_objective)(state.d_params)
+        )(state.g_params, state.d_params, state.vgg_params, batch)
+        d_loss, d_grads = jax.value_and_grad(d_objective)(
+            state.d_params, batch, jax.lax.stop_gradient(fakes)
+        )
+        metrics = dict(metrics, d_loss=d_loss)
 
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
         d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
