@@ -153,3 +153,8 @@ class PipelineConfig:
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     # Device batch size for rasterization / GAN inference frame chunks.
     frame_chunk: int = 64
+    # Stream frames off device as YUV420 chunks muxed incrementally on a
+    # worker thread (halves link bytes; overlaps encode with compute).
+    # Falls back to the materialized-RGB path when intermediates or
+    # arrays are requested.
+    stream: bool = True

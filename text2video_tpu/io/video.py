@@ -51,6 +51,15 @@ def _list(kind: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", kind + payload)
 
 
+def _encode_jpeg(bgr: np.ndarray, quality: int) -> bytes:
+    ok, buf = cv2.imencode(
+        ".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, quality]
+    )
+    if not ok:
+        raise RuntimeError("JPEG encode failed")
+    return bytes(buf)
+
+
 def write_avi_with_audio(
     frames: np.ndarray,
     audio: Optional[np.ndarray],
@@ -65,25 +74,35 @@ def write_avi_with_audio(
     one audio slice per frame, plus an idx1 index.
     """
     t, h, w, _ = frames.shape
-    has_audio = audio is not None and len(audio) > 0
-    if has_audio:
+    jpegs = [
+        _encode_jpeg(cv2.cvtColor(frames[i], cv2.COLOR_RGB2BGR), jpeg_quality)
+        for i in range(t)
+    ]
+    pcm = None
+    if audio is not None and len(audio) > 0:
         pcm = (np.clip(audio, -1, 1) * 32767.0).astype("<i2")
+    _assemble_avi(jpegs, pcm, path, fps, sample_rate, w, h)
+
+
+def _assemble_avi(
+    jpegs: List[bytes],
+    pcm: Optional[np.ndarray],
+    path: str,
+    fps: float,
+    sample_rate: int,
+    w: int,
+    h: int,
+) -> None:
+    """Assemble the RIFF/AVI container from pre-encoded JPEG frames and
+    (optionally) int16 PCM (padded here to the video duration)."""
+    t = len(jpegs)
+    has_audio = pcm is not None and len(pcm) > 0
+    if has_audio:
         total_needed = int(round(t / fps * sample_rate))
         if len(pcm) < total_needed:
             pcm = np.concatenate(
                 [pcm, np.zeros(total_needed - len(pcm), "<i2")]
             )
-
-    jpegs: List[bytes] = []
-    for i in range(t):
-        ok, buf = cv2.imencode(
-            ".jpg",
-            cv2.cvtColor(frames[i], cv2.COLOR_RGB2BGR),
-            [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality],
-        )
-        if not ok:
-            raise RuntimeError(f"JPEG encode failed at frame {i}")
-        jpegs.append(bytes(buf))
 
     # movi payload + idx1 entries (offsets relative to 'movi' fourcc).
     movi = b"movi"
@@ -174,9 +193,10 @@ def mux(
     """Write all applicable containers for ``out_base`` (no extension).
 
     Returns the list of files written: always ``.mp4`` (video-only via
-    cv2, as the reference's first muxing stage); with audio, either an
-    ffmpeg-muxed ``.mp4`` replacing it (when ffmpeg exists) or ``.avi``
-    (self-contained mux) + ``.wav``.
+    cv2, as the reference's first muxing stage) and, with audio, ``.wav``
+    plus an audio-bearing container — ``_audio.mp4`` written alongside
+    when ffmpeg exists, otherwise (or when ffmpeg fails, e.g. no aac
+    encoder in the build) the self-contained ``.avi`` mux.
     """
     written: List[str] = []
     mp4 = out_base + ".mp4"
@@ -190,17 +210,132 @@ def mux(
     ff = _ffmpeg()
     if ff is not None:
         muxed = out_base + "_audio.mp4"
-        subprocess.run(
-            [ff, "-y", "-i", mp4, "-i", wav, "-c:v", "copy", "-c:a", "aac",
-             muxed],
-            check=True,
-            capture_output=True,
+        try:
+            subprocess.run(
+                [ff, "-y", "-i", mp4, "-i", wav, "-c:v", "copy",
+                 "-c:a", "aac", muxed],
+                check=True,
+                capture_output=True,
+            )
+            written.append(muxed)
+            return written
+        except subprocess.CalledProcessError:
+            pass  # fall through to the self-contained AVI mux
+    avi = out_base + ".avi"
+    write_avi_with_audio(
+        frames, audio, avi, fps=fps, sample_rate=sample_rate
+    )
+    written.append(avi)
+    return written
+
+
+def yuv420_to_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """[n,H,W] + 2x[n,H/2,W/2] uint8 planes -> [n,H,W,3] uint8 BGR via
+    cv2's I420 conversion (inverse of ops/colorspace.rgb_norm_to_yuv420)."""
+    n, h, w = y.shape
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        i420 = np.concatenate(
+            [y[i].reshape(-1, w), u[i].reshape(-1, w), v[i].reshape(-1, w)]
         )
-        written.append(muxed)
-    else:
-        avi = out_base + ".avi"
-        write_avi_with_audio(
-            frames, audio, avi, fps=fps, sample_rate=sample_rate
+        out[i] = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420)
+    return out
+
+
+class StreamingMuxer:
+    """Incremental mux: frames arrive per chunk (as YUV420 planes straight
+    off the device) while the renderer is still computing later chunks;
+    a worker thread converts + encodes them off the transfer-critical
+    path. ``close()`` finalizes the same set of outputs as :func:`mux`.
+
+    This is what makes end-to-end latency max(compute, transfer, encode)
+    instead of their sum — the reference's muxer only starts after every
+    frame is on disk (reference: text2video_tts.sh:45-48).
+    """
+
+    def __init__(
+        self,
+        out_base: str,
+        width: int,
+        height: int,
+        fps: float = 25.0,
+        sample_rate: int = 16000,
+        audio: Optional[np.ndarray] = None,
+        jpeg_quality: int = 95,
+    ):
+        import queue
+        import threading
+
+        self.out_base = out_base
+        self.fps = fps
+        self.sample_rate = sample_rate
+        self.wh = (width, height)
+        self.audio = audio
+        self.jpeg_quality = jpeg_quality
+        self.has_audio = audio is not None and len(audio) > 0
+        self.mp4 = out_base + ".mp4"
+        self.writer = cv2.VideoWriter(
+            self.mp4, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+        )
+        if not self.writer.isOpened():
+            raise RuntimeError(f"cannot open VideoWriter for {self.mp4}")
+        self.jpegs: List[bytes] = []  # for the AVI fallback container
+        self.n_frames = 0
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._err: List[BaseException] = []
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                y, u, v = item
+                for bgr in yuv420_to_bgr(y, u, v):
+                    self.writer.write(bgr)
+                    if self.has_audio:
+                        self.jpegs.append(
+                            _encode_jpeg(bgr, self.jpeg_quality)
+                        )
+            except BaseException as e:  # surfaced in close()
+                self._err.append(e)
+
+    def add_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
+        self.n_frames += y.shape[0]
+        self._q.put((y, u, v))
+
+    def close(self) -> List[str]:
+        self._q.put(None)
+        self._thread.join()
+        self.writer.release()
+        if self._err:
+            raise self._err[0]
+        written = [self.mp4]
+        if not self.has_audio:
+            return written
+        wav = self.out_base + ".wav"
+        save_wav(wav, self.audio, self.sample_rate)
+        written.append(wav)
+        ff = _ffmpeg()
+        if ff is not None:
+            muxed = self.out_base + "_audio.mp4"
+            try:
+                subprocess.run(
+                    [ff, "-y", "-i", self.mp4, "-i", wav, "-c:v", "copy",
+                     "-c:a", "aac", muxed],
+                    check=True,
+                    capture_output=True,
+                )
+                written.append(muxed)
+                return written
+            except subprocess.CalledProcessError:
+                pass
+        avi = self.out_base + ".avi"
+        pcm = (np.clip(self.audio, -1, 1) * 32767.0).astype("<i2")
+        _assemble_avi(
+            self.jpegs, pcm, avi, self.fps, self.sample_rate, *self.wh
         )
         written.append(avi)
-    return written
+        return written

@@ -41,7 +41,7 @@ from text2video_tpu.frontend.timestamps import (
 )
 from text2video_tpu.frontend.timestamp_zh import AsrBackend, timestamp_chinese
 from text2video_tpu.frontend.tts import FormantTTS, TTSBackend
-from text2video_tpu.io.video import mux
+from text2video_tpu.io.video import StreamingMuxer, mux
 from text2video_tpu.ops.rasterize import rasterize_batch
 from text2video_tpu.pose_stage import PoseStage
 from text2video_tpu.render import Renderer
@@ -106,7 +106,12 @@ class Text2VideoPipeline:
             self.renderer is None or cfg.emit_intermediates or keep_arrays
         )
         t_frames = face.shape[0]
+        out_dir = os.path.join(cfg.out_dir, self.profile.name)
+        os.makedirs(out_dir, exist_ok=True)
+        base = os.path.join(out_dir, name)
+
         labels = None
+        frames = None
         if self.renderer is not None:
             with timer.stage("rasterize"):
                 chunks = rasterize_batch(
@@ -118,14 +123,33 @@ class Text2VideoPipeline:
                     chunk=self.renderer.time_bucket,
                     to_host=False,
                 )
-            with timer.stage("render"):
-                frames = self.renderer.render_from_device_chunks(
-                    chunks, t_frames
+            if cfg.stream and not need_host_labels:
+                # Streaming: frames leave the device as YUV420 chunks and
+                # are muxed incrementally on a worker thread — transfer,
+                # compute, and encode overlap, and link bytes halve.
+                w_c, h_c = self.profile.canvas
+                h2, w2 = self.renderer.target_hw(h_c, w_c)
+                muxer = StreamingMuxer(
+                    base, w2, h2, fps=self.profile.fps,
+                    sample_rate=sample_rate, audio=audio,
                 )
-            if need_host_labels:
-                labels = np.concatenate(
-                    [np.asarray(c) for c in chunks], axis=0
-                )[:t_frames]
+                with timer.stage("render"):
+                    for y, u, v in self.renderer.render_stream_yuv(
+                        chunks, t_frames
+                    ):
+                        muxer.add_yuv(y, u, v)
+                with timer.stage("mux"):
+                    files = muxer.close()
+                t_frames = muxer.n_frames
+            else:
+                with timer.stage("render"):
+                    frames = self.renderer.render_from_device_chunks(
+                        chunks, t_frames
+                    )
+                if need_host_labels:
+                    labels = np.concatenate(
+                        [np.asarray(c) for c in chunks], axis=0
+                    )[:t_frames]
         else:
             with timer.stage("rasterize"):
                 labels = rasterize_batch(
@@ -138,14 +162,13 @@ class Text2VideoPipeline:
                 )
             frames = labels  # skeleton passthrough (no trained GAN)
 
-        out_dir = os.path.join(cfg.out_dir, self.profile.name)
-        os.makedirs(out_dir, exist_ok=True)
-        base = os.path.join(out_dir, name)
-        with timer.stage("mux"):
-            files = mux(
-                frames, audio, base, fps=self.profile.fps,
-                sample_rate=sample_rate,
-            )
+        if frames is not None:
+            with timer.stage("mux"):
+                files = mux(
+                    frames, audio, base, fps=self.profile.fps,
+                    sample_rate=sample_rate,
+                )
+            t_frames = frames.shape[0]
 
         if cfg.emit_intermediates:
             self._emit_intermediates(out_dir, name, result, labels, ts)
@@ -155,12 +178,12 @@ class Text2VideoPipeline:
             "pipeline_run",
             person=self.profile.name,
             name=name,
-            frames=int(frames.shape[0]),
+            frames=int(t_frames),
             **{f"s_{k}": round(v, 4) for k, v in stage_seconds.items()},
         )
         return RunResult(
             name=name,
-            num_frames=frames.shape[0],
+            num_frames=t_frames,
             files=files,
             timestamps=ts,
             label_maps=labels if keep_arrays else None,
@@ -243,35 +266,59 @@ class Text2VideoPipeline:
 
         Returns a list of RunResult in input order.
         """
+        import jax.numpy as jnp  # noqa: PLC0415
         import numpy as np  # noqa: PLC0415
 
         if self.aligner is None:
             raise RuntimeError("run_audio_batch needs an EnglishAligner")
         cfg = self.config
+        timer = StageTimer()
+        on_device = self.renderer is not None
         prepped = []
         for text, wav_path in items:
-            samples = load_wav_for_alignment(wav_path)
-            res = self.aligner.align(samples, text)
-            pose_res = self.pose_stage.run(res.phones, device=True)
+            with timer.stage("frontend"):
+                samples = load_wav_for_alignment(wav_path)
+                res = self.aligner.align(samples, text)
+                pose_res = self.pose_stage.run(res.phones, device=True)
             face = pose_res.face_smooth if cfg.smooth else pose_res.face
             pose = pose_res.pose_smooth if cfg.smooth else pose_res.pose
             hands = self.pose_stage.table.hands[pose_res.plan.carrier]
-            labels = rasterize_batch(
-                face, pose, hands[:, 0], hands[:, 1],
-                self.profile.canvas, chunk=cfg.frame_chunk,
-            )
+            with timer.stage("rasterize"):
+                # With a renderer, labels stay on device: chunks concat +
+                # pad + stack as device ops, so the batch path adds no
+                # host round trip over the single-utterance path.
+                labels = rasterize_batch(
+                    face, pose, hands[:, 0], hands[:, 1],
+                    self.profile.canvas, chunk=cfg.frame_chunk,
+                    to_host=not on_device,
+                )
+                if on_device:
+                    labels = jnp.concatenate(labels, axis=0)[: face.shape[0]]
             prepped.append((text, samples, res.phones, labels))
 
         t_max = max(p[3].shape[0] for p in prepped)
-        h, w = prepped[0][3].shape[1:3]
-        batch = np.zeros((len(prepped), t_max, h, w, 3), np.uint8)
-        for i, (_, _, _, labels) in enumerate(prepped):
-            batch[i, : labels.shape[0]] = labels
+        with timer.stage("batch_pad"):
+            if on_device:
+                batch = jnp.stack(
+                    [
+                        jnp.pad(
+                            lab,
+                            ((0, t_max - lab.shape[0]), (0, 0), (0, 0), (0, 0)),
+                        )
+                        for *_, lab in prepped
+                    ]
+                )
+            else:
+                h, w = prepped[0][3].shape[1:3]
+                batch = np.zeros((len(prepped), t_max, h, w, 3), np.uint8)
+                for i, (_, _, _, labels) in enumerate(prepped):
+                    batch[i, : labels.shape[0]] = labels
 
-        if self.renderer is not None:
-            frames_b = self.renderer.render_many(batch, mesh=mesh)
-        else:
-            frames_b = batch
+        with timer.stage("render"):
+            if self.renderer is not None:
+                frames_b = self.renderer.render_many_device(batch, mesh=mesh)
+            else:
+                frames_b = batch
 
         out_dir = os.path.join(cfg.out_dir, self.profile.name)
         os.makedirs(out_dir, exist_ok=True)
@@ -280,20 +327,24 @@ class Text2VideoPipeline:
             name = derive_file_name(text)
             t = labels.shape[0]
             frames = frames_b[i, :t]
-            files = mux(
-                frames, samples, os.path.join(out_dir, name),
-                fps=self.profile.fps, sample_rate=ALIGN_SAMPLE_RATE,
-            )
+            with timer.stage("mux"):
+                files = mux(
+                    frames, samples, os.path.join(out_dir, name),
+                    fps=self.profile.fps, sample_rate=ALIGN_SAMPLE_RATE,
+                )
             results.append(
                 RunResult(
                     name=name,
                     num_frames=t,
                     files=files,
                     timestamps=ts,
-                    label_maps=labels if keep_arrays else None,
+                    label_maps=np.asarray(labels) if keep_arrays else None,
                     frames=frames if keep_arrays else None,
                 )
             )
+        stage_seconds = timer.totals()
+        for r in results:
+            r.stage_seconds = stage_seconds
         return results
 
     def run_tts_chinese(

@@ -99,9 +99,9 @@ class Renderer:
         w2 = max(round(w * h2 / h / 64) * 64, 64)
         return h2, w2
 
-    def _render_chunk_impl(self, params, labels, carry):
-        """labels: [B, chunk, H, W, 3] in [-1,1] -> (uint8 frames, carry).
-        Labels are resized on device to the working resolution first."""
+    def _scan_chunk(self, params, labels, carry):
+        """labels: [B, chunk, H, W, 3] in [-1,1] -> (frames f32 [-1,1],
+        carry). Labels resize on device to the working resolution first."""
         b, c, h, w, _ = labels.shape
         h2, w2 = self.target_hw(h, w)
         labels = labels.astype(jnp.float32)
@@ -115,25 +115,47 @@ class Renderer:
             return self._scan_step(params, c, lab)
 
         carry, frames = jax.lax.scan(step_fn, carry, labels_t)
-        frames = jnp.moveaxis(frames, 0, 1)  # [B, chunk, H, W, 3]
+        return jnp.moveaxis(frames, 0, 1), carry  # [B, chunk, H, W, 3]
+
+    def _render_chunk_impl(self, params, labels, carry):
+        frames, carry = self._scan_chunk(params, labels, carry)
         frames_u8 = jnp.clip(
             (frames + 1.0) * 127.5, 0.0, 255.0
         ).astype(jnp.uint8)
         return frames_u8, carry
 
+    def _render_chunk_yuv_impl(self, params, labels, carry):
+        """Like _render_chunk_impl but returns (y, u, v) uint8 planes —
+        half the host-transfer bytes of RGB (ops/colorspace.py)."""
+        from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420
+
+        frames, carry = self._scan_chunk(params, labels, carry)
+        y, u, v = rgb_norm_to_yuv420(frames)
+        return (y, u, v), carry
+
+    def _cached_jit(self, name: str, impl):
+        fn = getattr(self, name, None)
+        if fn is None:
+            fn = jax.jit(impl, donate_argnums=(2,))
+            object.__setattr__(self, name, fn)
+        return fn
+
     @property
     def _render_chunk(self):
-        fn = getattr(self, "_render_chunk_cache", None)
-        if fn is None:
-            fn = jax.jit(self._render_chunk_impl, donate_argnums=(2,))
-            object.__setattr__(self, "_render_chunk_cache", fn)
-        return fn
+        return self._cached_jit("_render_chunk_cache", self._render_chunk_impl)
+
+    @property
+    def _render_chunk_yuv(self):
+        return self._cached_jit(
+            "_render_chunk_yuv_cache", self._render_chunk_yuv_impl
+        )
 
     # ------------------------------------------------------------------
 
-    def generate_device(self, labels_norm: jax.Array):
+    def generate_device(self, labels_norm: jax.Array, params=None):
         """[B, T, H, W, 3] labels in [-1,1] -> list of [B, chunk, H, W, 3]
         uint8 device arrays (last chunk padded). No host transfer."""
+        params = self.params if params is None else params
         b, t, h, w, _ = labels_norm.shape
         carry = self.init_carry(b, *self.target_hw(h, w))
         chunks = []
@@ -143,7 +165,7 @@ class Renderer:
             chunk = labels_norm[:, lo:hi]
             if pad:
                 chunk = jnp.pad(chunk, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-            frames_u8, carry = self._render_chunk(self.params, chunk, carry)
+            frames_u8, carry = self._render_chunk(params, chunk, carry)
             chunks.append(frames_u8)
         return chunks
 
@@ -188,6 +210,45 @@ class Renderer:
         host = [np.asarray(c[0]) for c in outs]
         return np.concatenate(host, axis=0)[:t]
 
+    def render_stream_yuv(self, label_chunks, t: int):
+        """Stream-render on-device uint8 label chunks to per-chunk host
+        YUV420 planes: yields (y [n,H,W], u [n,H/2,W/2], v [n,H/2,W/2])
+        uint8 numpy arrays, n summing to ``t``.
+
+        All chunk programs are dispatched up front (JAX async dispatch),
+        so device compute for chunk i+1.. overlaps the host pull of chunk
+        i — through a slow host link the wall clock is max(compute,
+        transfer), not the sum, and YUV420 halves the transferred bytes.
+        The consumer (io/video.StreamingMuxer) encodes each chunk as it
+        lands, off the critical path.
+        """
+        if not label_chunks:
+            raise ValueError("no label chunks")
+        h, w = label_chunks[0].shape[1:3]
+        carry = self.init_carry(1, *self.target_hw(h, w))
+        device_out = []
+        done = 0
+        for chunk in label_chunks:
+            if done >= min(t, self.config.max_frames):
+                break
+            labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
+            (y, u, v), carry = self._render_chunk_yuv(
+                self.params, labels, carry
+            )
+            device_out.append((y, u, v, chunk.shape[0]))
+            done += chunk.shape[0]
+        remaining = min(t, self.config.max_frames, done)
+        for y, u, v, n in device_out:
+            n = min(n, remaining)
+            if n <= 0:
+                break
+            yield (
+                np.asarray(y[0][:n]),
+                np.asarray(u[0][:n]),
+                np.asarray(v[0][:n]),
+            )
+            remaining -= n
+
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
         """[B, T, H, W, 3] uint8 -> [B, T, H, W, 3] uint8 frames.
 
@@ -196,18 +257,24 @@ class Renderer:
         forwards per chip with XLA collectives riding ICI (SURVEY.md §2.5;
         the scaling story for a sequential model). Params are replicated.
         """
+        labels = jnp.asarray(labels_u8)
+        return self.render_many_device(labels, mesh=mesh)
+
+    def render_many_device(self, labels_u8, mesh=None) -> np.ndarray:
+        """Like :meth:`render_many` but takes [B, T, H, W, 3] uint8 labels
+        already on device (e.g. stacked rasterizer chunks) — the label
+        side never round-trips through the host."""
         b, t = labels_u8.shape[:2]
         t = min(t, self.config.max_frames)
-        labels = labels_u8[:, :t].astype(np.float32) / 127.5 - 1.0
+        labels = labels_u8[:, :t].astype(jnp.float32) / 127.5 - 1.0
+        params = self.params
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(mesh, P("data"))
             labels = jax.device_put(labels, sharding)
-            self.params = jax.device_put(
-                self.params, NamedSharding(mesh, P())
-            )
-        else:
-            labels = jnp.asarray(labels)
-        chunks = self.generate_device(labels)
+            # Replicate params locally for this call — never mutate the
+            # renderer's own params as a render side effect.
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        chunks = self.generate_device(labels, params=params)
         return np.concatenate([np.asarray(c) for c in chunks], axis=1)[:, :t]
