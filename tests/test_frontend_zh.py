@@ -24,8 +24,10 @@ def test_to_pinyin_grouping():
     # Hanzi -> one syllable each; non-hanzi runs group into one token.
     assert to_pinyin("你好") == ["ni", "hao"]
     assert to_pinyin("今年2024好") == ["jin", "nian", "2024", "hao"]
-    # Unknown hanzi pass through.
-    assert to_pinyin("好犇") == ["hao", "犇"]
+    # Full Unihan coverage: even rare hanzi convert now.
+    assert to_pinyin("好犇") == ["hao", "ben"]
+    # A character absent from the table still passes through.
+    assert to_pinyin("好㐂") == ["hao", "㐂"]
 
 
 def test_pinyin_timestamps_uniform_split():
