@@ -44,11 +44,14 @@ void t2v_free(void* p) { std::free(p); }
 // ---- features ----------------------------------------------------------
 
 // Returns 0 on success. *out is [*out_t x *out_d], caller frees.
+// kind: 0 = MFCC_0_D_A_Z, 1 = PLP_0_D_A_Z (the reference aligner's
+// TARGETKIND, aligner/english/16000/config:4).
 int t2v_extract_features(const float* samples, int64_t num_samples,
-                         int sample_rate, float** out, int* out_t,
+                         int sample_rate, int kind, float** out, int* out_t,
                          int* out_d) {
   FeatConfig cfg;
   cfg.sample_rate = sample_rate;
+  cfg.kind = kind == 1 ? t2v::FeatKind::kPLP : t2v::FeatKind::kMFCC;
   const auto feats = t2v::ExtractFeatures(samples, num_samples, cfg);
   const int t = static_cast<int>(feats.size());
   const int d = t2v::FeatureDim(cfg);
@@ -78,11 +81,13 @@ void* t2v_model_load(const char* path) {
 }
 
 // phone_names: newline-separated list. states_per_phone applies to all
-// phones except "sp", which gets 1 state.
+// phones except "sp", which gets 1 state. feat_kind as in
+// t2v_extract_features.
 void* t2v_model_create(const char* phone_names, int dim,
-                       int states_per_phone) {
+                       int states_per_phone, int feat_kind) {
   auto* m = new AcousticModel();
   m->dim = dim;
+  m->feat_kind = feat_kind;
   std::string names(phone_names), cur;
   for (size_t i = 0; i <= names.size(); ++i) {
     if (i == names.size() || names[i] == '\n') {
@@ -102,6 +107,10 @@ void* t2v_model_create(const char* phone_names, int dim,
 
 int t2v_model_save(void* handle, const char* path) {
   return static_cast<AcousticModel*>(handle)->Save(path) ? 0 : 1;
+}
+
+int t2v_model_feat_kind(void* handle) {
+  return static_cast<AcousticModel*>(handle)->feat_kind;
 }
 
 void t2v_model_free(void* handle) {

@@ -96,6 +96,48 @@ void AddDeltas(std::vector<std::vector<float>>& feats, int lo, int width) {
   }
 }
 
+// Equal-loudness weight at frequency hz (the PLP psychophysical curve).
+float EqualLoudness(float hz) {
+  const float f2 = hz * hz;
+  const float a = f2 / (f2 + 1.6e5f);
+  return a * a * (f2 + 1.44e6f) / (f2 + 9.61e6f);
+}
+
+// Levinson-Durbin: autocorrelation r[0..p] -> LPC a[1..p]; returns the
+// final prediction-error energy E.
+float Levinson(const std::vector<float>& r, int p, std::vector<float>& a) {
+  a.assign(p + 1, 0.0f);
+  float e = r[0];
+  if (e <= 0.0f) return 1e-10f;
+  std::vector<float> prev(p + 1, 0.0f);
+  for (int i = 1; i <= p; ++i) {
+    float acc = r[i];
+    for (int j = 1; j < i; ++j) acc -= a[j] * r[i - j];
+    const float k = acc / e;
+    prev = a;
+    a[i] = k;
+    for (int j = 1; j < i; ++j) a[j] = prev[j] - k * prev[i - j];
+    e *= (1.0f - k * k);
+    if (e <= 0.0f) return 1e-10f;
+  }
+  return e;
+}
+
+// LPC -> cepstra (c1..c{n}), the standard recursion; c0 = ln(gain).
+void LpcToCepstrum(const std::vector<float>& a, float gain, int num_ceps,
+                   std::vector<float>& ceps) {
+  const int p = static_cast<int>(a.size()) - 1;
+  ceps.assign(num_ceps, 0.0f);
+  ceps[0] = std::log(std::max(gain, 1e-10f));
+  for (int n = 1; n < num_ceps; ++n) {
+    float acc = n <= p ? a[n] : 0.0f;
+    for (int k = 1; k < n; ++k) {
+      if (n - k <= p) acc += (static_cast<float>(k) / n) * ceps[k] * a[n - k];
+    }
+    ceps[n] = acc;
+  }
+}
+
 }  // namespace
 
 int FeatureDim(const FeatConfig& cfg) { return 3 * cfg.num_ceps; }
@@ -118,19 +160,39 @@ std::vector<std::vector<float>> ExtractFeatures(const float* samples,
   for (int i = 0; i < flen; ++i) {
     window[i] = 0.54f - 0.46f * std::cos(2.0f * kPi * i / (flen - 1));
   }
-  const auto bank = MelBank(cfg.num_mel, nfft, cfg.sample_rate);
+  const bool plp = cfg.kind == FeatKind::kPLP;
+  const int num_mel = plp ? 20 : cfg.num_mel;  // NUMCHANS = 20 for PLP
+  const auto bank = MelBank(num_mel, nfft, cfg.sample_rate);
+
+  // Filter centre frequencies (Hz) for the equal-loudness weights.
+  std::vector<float> eql(num_mel);
+  {
+    const float mel_hi = HzToMel(static_cast<float>(cfg.sample_rate) / 2.0f);
+    for (int m = 0; m < num_mel; ++m) {
+      const float mel = mel_hi * (m + 1) / (num_mel + 1);
+      eql[m] = EqualLoudness(700.0f * (std::exp(mel / 1127.0f) - 1.0f));
+    }
+  }
+  std::vector<float> lifter(cfg.num_ceps, 1.0f);
+  if (plp && cfg.ceplifter > 0) {
+    for (int n = 1; n < cfg.num_ceps; ++n) {
+      lifter[n] = 1.0f + 0.5f * cfg.ceplifter *
+                             std::sin(kPi * n / cfg.ceplifter);
+    }
+  }
 
   // Precompute DCT-II basis (orthonormal), c0..c{num_ceps-1} over num_mel.
   std::vector<std::vector<float>> dct(cfg.num_ceps,
-                                      std::vector<float>(cfg.num_mel));
+                                      std::vector<float>(num_mel));
   for (int k = 0; k < cfg.num_ceps; ++k) {
-    const float norm = std::sqrt((k == 0 ? 1.0f : 2.0f) / cfg.num_mel);
-    for (int m = 0; m < cfg.num_mel; ++m) {
-      dct[k][m] = norm * std::cos(kPi * k * (m + 0.5f) / cfg.num_mel);
+    const float norm = std::sqrt((k == 0 ? 1.0f : 2.0f) / num_mel);
+    for (int m = 0; m < num_mel; ++m) {
+      dct[k][m] = norm * std::cos(kPi * k * (m + 0.5f) / num_mel);
     }
   }
 
   std::vector<float> re(nfft), im(nfft);
+  std::vector<float> fb(num_mel), r(cfg.lpc_order + 1), a;
   for (int t = 0; t < num_frames; ++t) {
     const float* frame = samples + static_cast<int64_t>(t) * shift;
     std::fill(re.begin(), re.end(), 0.0f);
@@ -141,9 +203,7 @@ std::vector<std::vector<float>> ExtractFeatures(const float* samples,
       re[i] = s * window[i];
     }
     Fft(re, im);
-    std::vector<float> ceps(cfg.num_ceps, 0.0f);
-    std::vector<float> logmel(cfg.num_mel);
-    for (int m = 0; m < cfg.num_mel; ++m) {
+    for (int m = 0; m < num_mel; ++m) {
       float e = 0.0f;
       const auto& filt = bank[m];
       for (int k = 0; k <= nfft / 2; ++k) {
@@ -151,12 +211,37 @@ std::vector<std::vector<float>> ExtractFeatures(const float* samples,
           e += filt[k] * (re[k] * re[k] + im[k] * im[k]);
         }
       }
-      logmel[m] = std::log(std::max(e, 1e-10f));
+      fb[m] = e;
     }
-    for (int k = 0; k < cfg.num_ceps; ++k) {
-      float acc = 0.0f;
-      for (int m = 0; m < cfg.num_mel; ++m) acc += dct[k][m] * logmel[m];
-      ceps[k] = acc;
+    std::vector<float> ceps(cfg.num_ceps, 0.0f);
+    if (!plp) {
+      for (int k = 0; k < cfg.num_ceps; ++k) {
+        float acc = 0.0f;
+        for (int m = 0; m < num_mel; ++m) {
+          acc += dct[k][m] * std::log(std::max(fb[m], 1e-10f));
+        }
+        ceps[k] = acc;
+      }
+    } else {
+      // PLP: equal-loudness weighting + cube-root loudness compression,
+      // inverse cosine transform to autocorrelation, LPC analysis,
+      // LPC-to-cepstra, liftering.
+      std::vector<float> pl(num_mel);
+      for (int m = 0; m < num_mel; ++m) {
+        pl[m] = std::pow(std::max(eql[m] * fb[m], 1e-10f), cfg.compress);
+      }
+      const int mp1 = num_mel + 1;
+      for (int i = 0; i <= cfg.lpc_order; ++i) {
+        // Symmetric spectrum of length 2*(M+1): endpoints duplicated.
+        float acc = pl[0] + pl[num_mel - 1] * std::cos(kPi * i);
+        for (int m = 1; m <= num_mel; ++m) {
+          acc += 2.0f * pl[m - 1] * std::cos(kPi * i * m / mp1);
+        }
+        r[i] = acc / (2.0f * mp1);
+      }
+      const float gain = Levinson(r, cfg.lpc_order, a);
+      LpcToCepstrum(a, gain, cfg.num_ceps, ceps);
+      for (int n = 0; n < cfg.num_ceps; ++n) ceps[n] *= lifter[n];
     }
     feats.push_back(std::move(ceps));
   }

@@ -48,7 +48,8 @@ int AcousticModel::PhoneId(const std::string& name) const {
 bool AcousticModel::Save(const std::string& path) const {
   std::ofstream f(path);
   if (!f) return false;
-  f << "T2VAM 1\n" << dim << " " << phones.size() << "\n";
+  f << "T2VAM 2\n" << feat_kind << "\n" << dim << " " << phones.size()
+    << "\n";
   for (const auto& p : phones) {
     f << p.name << " " << p.states.size() << "\n";
     for (const auto& s : p.states) {
@@ -71,7 +72,9 @@ bool AcousticModel::Load(const std::string& path) {
   std::string magic;
   int version = 0;
   f >> magic >> version;
-  if (magic != "T2VAM" || version != 1) return false;
+  if (magic != "T2VAM" || (version != 1 && version != 2)) return false;
+  feat_kind = 0;
+  if (version >= 2) f >> feat_kind;
   size_t num_phones = 0;
   f >> dim >> num_phones;
   phones.assign(num_phones, Phone());

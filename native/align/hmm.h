@@ -82,6 +82,10 @@ struct FrameState {
 class AcousticModel {
  public:
   int dim = 0;
+  // Feature kind the model was trained on (FeatKind: 0 = MFCC, 1 = PLP);
+  // stored in the model file so alignment always extracts matching
+  // features (format v2; v1 files load as MFCC).
+  int feat_kind = 0;
   std::vector<Phone> phones;
 
   int PhoneId(const std::string& name) const;  // -1 if absent

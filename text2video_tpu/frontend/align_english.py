@@ -187,7 +187,9 @@ class EnglishAligner:
         words = transcript_words(text)
         if not words:
             raise ValueError("empty transcript")
-        feats = native.extract_features(samples, sample_rate)
+        feats = native.extract_features(
+            samples, sample_rate, self.model.feat_kind
+        )
         segments, symbols, word_of = self._segments(words)
         records, _ = native.align_variants(self.model, feats, segments)
 
@@ -249,7 +251,9 @@ class EnglishAligner:
         words = transcript_words(text)
         if not words:
             raise ValueError("empty transcript")
-        feats = native.extract_features(samples, sample_rate)
+        feats = native.extract_features(
+            samples, sample_rate, self.model.feat_kind
+        )
         segments, symbols, _ = self._segments(words)
         _pid, state, seg, pos = native.align_frame_states(
             self.model, feats, segments
@@ -304,6 +308,7 @@ def train_acoustic_model(
     iterations: int = 8,
     target_mixes: int = 4,
     save_path: Optional[str] = None,
+    feat_kind: int = native.FEAT_MFCC,
 ) -> native.AcousticModel:
     """Flat-start Viterbi training of stress-free monophone models.
 
@@ -312,12 +317,14 @@ def train_acoustic_model(
     mirror) — any per-person dictionary recording can bootstrap a usable
     aligner.
     """
-    model = native.AcousticModel.create(["sil", "sp"] + ARPABET_BASE)
+    model = native.AcousticModel.create(
+        ["sil", "sp"] + ARPABET_BASE, feat_kind=feat_kind
+    )
     trainer = native.Trainer(model)
 
     prepped = []
     for samples, text in utterances:
-        feats = native.extract_features(samples, sample_rate)
+        feats = native.extract_features(samples, sample_rate, feat_kind)
         words = transcript_words(text)
         ids: List[int] = [model.phone_id("sil")]
         skip: List[bool] = [False]

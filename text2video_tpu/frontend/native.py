@@ -50,6 +50,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
             ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
@@ -61,7 +62,10 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_char_p,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,
         ]
+        lib.t2v_model_feat_kind.restype = ctypes.c_int
+        lib.t2v_model_feat_kind.argtypes = [ctypes.c_void_p]
         lib.t2v_model_save.restype = ctypes.c_int
         lib.t2v_model_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.t2v_model_free.argtypes = [ctypes.c_void_p]
@@ -157,8 +161,14 @@ def _as_float_ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def extract_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
-    """Mono float PCM in [-1,1] -> [T, 39] MFCC_0_D_A_Z features."""
+FEAT_MFCC = 0
+FEAT_PLP = 1  # the reference aligner's TARGETKIND (PLP_0_D_A_Z)
+
+
+def extract_features(
+    samples: np.ndarray, sample_rate: int, kind: int = FEAT_MFCC
+) -> np.ndarray:
+    """Mono float PCM in [-1,1] -> [T, 39] MFCC/PLP_0_D_A_Z features."""
     lib = get_lib()
     samples = np.ascontiguousarray(samples, dtype=np.float32)
     out = ctypes.POINTER(ctypes.c_float)()
@@ -168,6 +178,7 @@ def extract_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
         _as_float_ptr(samples),
         samples.size,
         sample_rate,
+        kind,
         ctypes.byref(out),
         ctypes.byref(t),
         ctypes.byref(d),
@@ -199,6 +210,7 @@ class AcousticModel:
         self._h = handle
         lib = get_lib()
         self.dim = lib.t2v_model_dim(self._h)
+        self.feat_kind = lib.t2v_model_feat_kind(self._h)
         n = lib.t2v_model_num_phones(self._h)
         self.phones = [
             lib.t2v_model_phone_name(self._h, i).decode() for i in range(n)
@@ -214,10 +226,18 @@ class AcousticModel:
 
     @classmethod
     def create(
-        cls, phones: Sequence[str], dim: int = 39, states_per_phone: int = 3
+        cls,
+        phones: Sequence[str],
+        dim: int = 39,
+        states_per_phone: int = 3,
+        feat_kind: int = FEAT_MFCC,
     ) -> "AcousticModel":
         names = "\n".join(phones).encode()
-        return cls(get_lib().t2v_model_create(names, dim, states_per_phone))
+        return cls(
+            get_lib().t2v_model_create(
+                names, dim, states_per_phone, feat_kind
+            )
+        )
 
     def save(self, path: str) -> None:
         rc = get_lib().t2v_model_save(self._h, path.encode())

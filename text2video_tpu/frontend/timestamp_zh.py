@@ -192,9 +192,30 @@ def timestamp_chinese(
     sample_rate: int,
     asr: Optional[AsrBackend] = None,
     fps: float = FPS_ZH,
+    aligner=None,
 ) -> Timestamps:
-    """Full Chinese path: ASR word intervals -> pinyin timestamps."""
+    """Full Chinese path: word/syllable intervals -> pinyin timestamps.
+
+    Punctuation strips before conversion, as the reference does before
+    lazy_pinyin (pinyin_timestamping.py:20-35). Timing backends, best
+    first:
+      * ``aligner`` (frontend.align_mandarin.MandarinAligner) — forced
+        alignment of the known pinyin stream; each emitted line gets its
+        own aligned interval, so the uniform-split walk degenerates to
+        true per-syllable midpoints.
+      * ``asr`` — any AsrBackend (vosk adapter), the reference's method.
+      * default — EnergySegmenter fallback.
+    """
+    from text2video_tpu.frontend.textnorm import strip_punct
+
+    stripped = strip_punct(text, strip_spaces=False, ascii_too=True)
+    if aligner is not None:
+        spans = aligner.align_text(samples, stripped, sample_rate)
+        intervals = [
+            WordInterval(word="", start=s.start, end=s.end) for s in spans
+        ]
+        return pinyin_timestamps(stripped, intervals, fps=fps)
     if asr is None:
-        asr = EnergySegmenter(n_words=max(len(to_pinyin(text)), 1))
+        asr = EnergySegmenter(n_words=max(len(to_pinyin(stripped)), 1))
     intervals = asr.recognize(samples, sample_rate)
-    return pinyin_timestamps(text, intervals, fps=fps)
+    return pinyin_timestamps(stripped, intervals, fps=fps)
