@@ -53,7 +53,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
 
 
-def _build_pipeline(args, need_aligner: bool):
+def _build_pipeline(args, need_aligner: bool, mandarin_aligner=None):
     from text2video_tpu.config import PipelineConfig, get_profile
     from text2video_tpu.pipeline import Text2VideoPipeline
 
@@ -72,7 +72,12 @@ def _build_pipeline(args, need_aligner: bool):
         from text2video_tpu.train.checkpoints import load_renderer
 
         renderer = load_renderer(args.gan_checkpoint, profile)
-    return Text2VideoPipeline(config, renderer=renderer, aligner=aligner)
+    return Text2VideoPipeline(
+        config,
+        renderer=renderer,
+        aligner=aligner,
+        mandarin_aligner=mandarin_aligner,
+    )
 
 
 def _dict_path(args) -> str:
@@ -146,7 +151,12 @@ def cmd_audio_batch(args) -> int:
 
 
 def cmd_tts_chinese(args) -> int:
-    pipe = _build_pipeline(args, need_aligner=False)
+    mandarin = None
+    if args.aligner_model and os.path.exists(args.aligner_model):
+        from text2video_tpu.frontend.align_mandarin import MandarinAligner
+
+        mandarin = MandarinAligner.load(args.aligner_model)
+    pipe = _build_pipeline(args, need_aligner=False, mandarin_aligner=mandarin)
     run = pipe.run_tts_chinese(args.text, args.sex)
     print(json.dumps({"name": run.name, "frames": run.num_frames,
                       "files": run.files}))
@@ -174,6 +184,63 @@ def cmd_train_aligner(args) -> int:
         iterations=args.iterations,
         target_mixes=args.mixes,
         save_path=args.out,
+    )
+    print(json.dumps({"model": args.out, "utterances": len(utts)}))
+    return 0
+
+
+def cmd_train_aligner_zh(args) -> int:
+    """Train Mandarin initial/final acoustic models.
+
+    Data sources (combinable):
+      * positional pairs: wav1 '<hanzi or pinyin stream 1>' wav2 ...
+      * --corpus AUDIO_DIR:TIMESTAMP_DIR — every wav in AUDIO_DIR whose
+        stem has a '<frame> <pinyin>' file in TIMESTAMP_DIR (the
+        reference's input_audio/ + input_timestamp/ layout).
+    """
+    from text2video_tpu.frontend import native
+    from text2video_tpu.frontend.align_mandarin import (
+        expand_walk_stream,
+        train_mandarin_model,
+    )
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    if len(args.pairs) % 2 != 0:
+        raise SystemExit("pairs must be wav1 'text 1' wav2 ...")
+    utts = []
+    for i in range(0, len(args.pairs), 2):
+        samples = load_wav_for_alignment(args.pairs[i])
+        text = args.pairs[i + 1]
+        # Hanzi text converts through the walk; a space-separated ASCII
+        # string is taken as a literal pinyin stream.
+        if text.isascii():
+            stream = text.split()
+        else:
+            stream = expand_walk_stream(text)
+        utts.append((samples, stream))
+    for corpus in args.corpus or []:
+        audio_dir, ts_dir = corpus.split(":", 1)
+        for fn in sorted(os.listdir(ts_dir)):
+            if not fn.endswith(".txt"):
+                continue
+            wav = os.path.join(audio_dir, fn[:-4] + ".wav")
+            if not os.path.exists(wav):
+                continue
+            lines = [l.split() for l in open(os.path.join(ts_dir, fn))]
+            stream = [p[1] for p in lines if len(p) == 2]
+            if len(stream) < 2:
+                continue
+            utts.append((load_wav_for_alignment(wav), stream))
+    if not utts:
+        raise SystemExit("no training utterances")
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    train_mandarin_model(
+        utts,
+        iterations=args.iterations,
+        target_mixes=args.mixes,
+        save_path=args.out,
+        feat_kind=native.FEAT_PLP if args.features == "plp"
+        else native.FEAT_MFCC,
     )
     print(json.dumps({"model": args.out, "utterances": len(utts)}))
     return 0
@@ -289,6 +356,24 @@ def main(argv=None) -> int:
     p.add_argument("--mixes", type=int, default=4)
     p.add_argument("pairs", nargs="+", help="wav1 'transcript 1' wav2 ...")
     p.set_defaults(fn=cmd_train_aligner)
+
+    p = sub.add_parser(
+        "train-aligner-zh", help="train Mandarin acoustic models"
+    )
+    p.add_argument("--out", required=True, help="output model path (.am)")
+    p.add_argument("--iterations", type=int, default=14)
+    p.add_argument("--mixes", type=int, default=8)
+    p.add_argument("--features", choices=["plp", "mfcc"], default="plp")
+    p.add_argument(
+        "--corpus",
+        action="append",
+        help="AUDIO_DIR:TIMESTAMP_DIR pair in the reference layout",
+    )
+    p.add_argument(
+        "pairs", nargs="*",
+        help="wav1 '<hanzi or pinyin stream 1>' wav2 ...",
+    )
+    p.set_defaults(fn=cmd_train_aligner_zh)
 
     p = sub.add_parser(
         "build-dict", help="build a phoneme-pose dictionary from recordings"

@@ -60,6 +60,21 @@ class RunResult:
     stage_seconds: Optional[dict] = None      # per-stage wall clock
 
 
+def _default_mandarin_aligner():
+    """The packaged Mandarin acoustic model, or None if absent/unbuildable."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "mandarin.am"
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        from text2video_tpu.frontend.align_mandarin import MandarinAligner
+
+        return MandarinAligner.load(path)
+    except Exception:
+        return None
+
+
 class Text2VideoPipeline:
     def __init__(
         self,
@@ -68,6 +83,8 @@ class Text2VideoPipeline:
         aligner: Optional[EnglishAligner] = None,
         tts: Optional[TTSBackend] = None,
         asr: Optional[AsrBackend] = None,
+        mandarin_aligner=None,
+        mesh=None,
     ):
         self.config = config
         self.profile: PersonProfile = config.person
@@ -76,6 +93,25 @@ class Text2VideoPipeline:
         self.aligner = aligner
         self.tts = tts
         self.asr = asr
+        # Optional jax Mesh: one utterance's *time* axis shards over the
+        # mesh's "data" axis for pose smoothing (FIR halo exchange) and
+        # rasterization (frame-parallel) — SURVEY.md §2.5 sequence
+        # parallelism for utterances that span chips. The GAN stays
+        # sequential over time by construction (autoregressive carry);
+        # cross-utterance batching (run_audio_batch) is its scaling axis.
+        self.mesh = mesh
+        # frontend.align_mandarin.MandarinAligner: forced alignment for
+        # the Chinese path (preferred over asr when both are given). A
+        # packaged model (data/mandarin.am, trained on the reference's
+        # per-person recordings) loads by default for zh profiles so the
+        # real timing path is the default, not the energy fallback.
+        if (
+            mandarin_aligner is None
+            and asr is None
+            and self.profile.language == "zh"
+        ):
+            mandarin_aligner = _default_mandarin_aligner()
+        self.mandarin_aligner = mandarin_aligner
 
     # ---- shared tail: timestamps -> video --------------------------------
 
@@ -90,7 +126,7 @@ class Text2VideoPipeline:
         cfg = self.config
         timer = StageTimer()
         with timer.stage("pose_synthesis"):
-            result = self.pose_stage.run(ts, device=True)
+            result = self.pose_stage.run(ts, device=True, mesh=self.mesh)
 
         # Tracks for rasterization: the smoothed pass when enabled
         # (reference feeds test_openpose/tmp_smooth to vid2vid,
@@ -152,14 +188,24 @@ class Text2VideoPipeline:
                     )[:t_frames]
         else:
             with timer.stage("rasterize"):
-                labels = rasterize_batch(
-                    face,
-                    pose,
-                    hands[:, 0],
-                    hands[:, 1],
-                    self.profile.canvas,
-                    chunk=cfg.frame_chunk,
-                )
+                if self.mesh is not None:
+                    from text2video_tpu.ops.rasterize import (
+                        rasterize_batch_sharded,
+                    )
+
+                    labels = rasterize_batch_sharded(
+                        face, pose, hands[:, 0], hands[:, 1],
+                        self.profile.canvas, self.mesh,
+                    )
+                else:
+                    labels = rasterize_batch(
+                        face,
+                        pose,
+                        hands[:, 0],
+                        hands[:, 1],
+                        self.profile.canvas,
+                        chunk=cfg.frame_chunk,
+                    )
             frames = labels  # skeleton passthrough (no trained GAN)
 
         if frames is not None:
@@ -359,6 +405,7 @@ class Text2VideoPipeline:
             ALIGN_SAMPLE_RATE,
             asr=self.asr,
             fps=self.profile.timestamp_fps,
+            aligner=self.mandarin_aligner,
         )
         return self.synthesize(
             ts,
