@@ -23,6 +23,30 @@ BASELINE_FPS = 25.0  # real-time at the reference's output frame rate
 H, W = 384, 512
 T = 64
 TIMED_RUNS = 3
+# TPU v5e (v5 lite) peak dense bf16 throughput per chip.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _chunk_flops(renderer, labels) -> float:
+    """XLA's own cost analysis of one compiled render chunk (FLOPs)."""
+    import jax
+
+    chunk = labels[:, : renderer.time_bucket]
+    carry = renderer.init_carry(
+        labels.shape[0], *renderer.target_hw(*labels.shape[2:4])
+    )
+    try:
+        compiled = (
+            jax.jit(renderer._render_chunk_impl)
+            .lower(renderer.params, chunk, carry)
+            .compile()
+        )
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # some backends return [dict]
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return float("nan")
 
 
 def _gen_bench(batch: int) -> None:
@@ -48,6 +72,13 @@ def _gen_bench(batch: int) -> None:
         times.append(time.perf_counter() - t0)
 
     fps = batch * T / min(times)
+    flops_chunk = _chunk_flops(renderer, labels)
+    n_chunks = (T + renderer.time_bucket - 1) // renderer.time_bucket
+    mfu = (
+        round(flops_chunk * n_chunks / min(times) / V5E_BF16_PEAK_FLOPS, 4)
+        if flops_chunk == flops_chunk  # not NaN
+        else None
+    )
     suffix = "" if batch == 1 else f"_b{batch}"
     print(
         json.dumps(
@@ -56,6 +87,12 @@ def _gen_bench(batch: int) -> None:
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "mfu": mfu,
+                "flops_per_frame": (
+                    round(flops_chunk / renderer.time_bucket / batch)
+                    if mfu is not None
+                    else None
+                ),
             }
         )
     )

@@ -193,7 +193,7 @@ def fadg0_setup():
         " conflicted copy 2021-04-07).wav"
     )
     utts.append((golden_wav, sa1))
-    model = train_acoustic_model(utts, pd, iterations=12, target_mixes=4)
+    model = train_acoustic_model(utts, pd, iterations=16, target_mixes=4)
     return EnglishAligner(model, pd), utts, golden_wav, sa1
 
 
@@ -212,7 +212,7 @@ def test_align_golden_dotheymake(fadg0_setup):
             if p != "sp"]
     assert [p for _, p in golden] == [p for _, p in ours]
     err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
-    assert np.mean(err) < 3.0, err
+    assert np.mean(err) < 2.0, err
 
 
 @requires_reference_data
@@ -222,13 +222,16 @@ def test_align_golden_shehadyour(fadg0_setup):
     ours = [(f, p) for f, p in aligner.align(golden_wav, sa1).phones
             if p != "sp"]
     # Pronunciation-variant choices may differ from HVite's (e.g. "your"
-    # -> Y UH1 R vs Y AO1 R) — require the same phone count, >= 80%
-    # symbol agreement, and close frame positions.
+    # -> Y UH1 R vs Y AO1 R) — require the same phone count, >= 95%
+    # symbol agreement, and close frame positions. The residual frame
+    # error concentrates in one fast-speech region ("your dark suit")
+    # where the reference's corpus-trained P2FA models place boundaries
+    # differently from our 7-utterance flat-start models; median is 3.
     assert len(golden) == len(ours)
     agree = sum(p1 == p2 for (_, p1), (_, p2) in zip(golden, ours))
-    assert agree / len(golden) >= 0.8, (agree, len(golden))
+    assert agree / len(golden) >= 0.95, (agree, len(golden))
     err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
-    assert np.mean(err) < 6.0, err
+    assert np.mean(err) < 4.5, err
 
 
 @requires_reference_data
