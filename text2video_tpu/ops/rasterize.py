@@ -617,5 +617,41 @@ def rasterize_batch(
     )[:T]
 
 
+def rasterize_batch_sharded(face, pose, hand_l, hand_r, size, mesh):
+    """Frame-parallel rasterization across the mesh's "data" axis: one
+    jitted program over the whole utterance with the time axis sharded,
+    each chip scatter-drawing its local frame block (SURVEY.md §2.5 —
+    frames are independent here, so the required halo width is zero and
+    time sharding is exactly correct, unlike the recursive smoother).
+
+    Returns [T, h, w, 3] uint8 on host.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w, h = size
+    T = face.shape[0]
+    n = mesh.shape["data"]
+    t_pad = _round_up(T, n)
+    sh = NamedSharding(mesh, P("data", None))
+
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        return jax.device_put(jnp.pad(x, ((0, t_pad - T), (0, 0))), sh)
+
+    fn = jax.jit(
+        functools.partial(
+            _rasterize_chunk,
+            width=w,
+            height=h,
+            n_samples=_round_up(max(w, h), 128),
+        ),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    img = fn(prep(face), prep(pose), prep(hand_l), prep(hand_r))
+    return np.asarray(img)[:T]
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

@@ -184,7 +184,9 @@ def smooth_fir_host(
     return out_f, out_p
 
 
-def smooth_fir_sharded(face, pose, mesh, smooth_width: int = 4):
+def smooth_fir_sharded(
+    face, pose, mesh, smooth_width: int = 4, t_valid: int = None
+):
     """FIR smoothing with the time axis sharded over the mesh's "data"
     axis: each chip smooths its local frame block after a +-smooth_width
     halo exchange with its ring neighbors over ICI (``ppermute``) — the
@@ -192,7 +194,10 @@ def smooth_fir_sharded(face, pose, mesh, smooth_width: int = 4):
     utterances that span chips.
 
     face [T, 210], pose [T, 75] float32; T must divide by the data-axis
-    size. Returns smoothed arrays matching smooth_fir_host.
+    size. t_valid: true utterance length when the tail is padding (the
+    window mask treats frames >= t_valid as out of range, so padded rows
+    never bleed into real frames). Returns smoothed arrays matching
+    smooth_fir_host on the valid prefix.
     """
     import jax
     import jax.numpy as jnp
@@ -204,6 +209,14 @@ def smooth_fir_sharded(face, pose, mesh, smooth_width: int = 4):
     T = face.shape[0]
     if T % n != 0:
         raise ValueError(f"T={T} must divide over {n} shards")
+    if T // n < sw:
+        # The ring halo exchange moves exactly sw rows from each
+        # neighbour; a shorter local block would silently truncate it.
+        raise ValueError(
+            f"per-shard block {T // n} < halo width {sw}; pad T to at "
+            f"least {n * sw}"
+        )
+    t_valid = T if t_valid is None else t_valid
 
     def local(face_blk, pose_blk):
         # face_blk: [T/n, D]. Halo exchange around the ring; edge shards
@@ -228,7 +241,7 @@ def smooth_fir_sharded(face, pose, mesh, smooth_width: int = 4):
         offsets = jnp.arange(-sw, sw)  # [2sw]
         valid = (
             (t_global[:, None] + offsets[None, :] >= 0)
-            & (t_global[:, None] + offsets[None, :] < T)
+            & (t_global[:, None] + offsets[None, :] < t_valid)
         ).astype(jnp.float32)
         w = (1.0 / (jnp.abs(offsets) + 1.0))[None, :] * valid  # [tl, 2sw]
 

@@ -63,15 +63,48 @@ class PoseStage:
             profile.keypoints_dir, profile.keypoint_layout
         )
 
-    def run(self, ts: Timestamps, device: bool = True) -> PoseResult:
+    def run(
+        self, ts: Timestamps, device: bool = True, mesh=None
+    ) -> PoseResult:
         """device=True: fused float32 device path — a single Pallas kernel
         (gather + blend + recursive smoothing + mouth re-pin, all VMEM)
         when table+tracks fit, else the XLA gather + lax.scan program.
         device=False: bit-exact float64 host path (matches reference JSON
-        output byte-for-byte)."""
+        output byte-for-byte).
+
+        mesh: shard the utterance's time axis over the mesh's "data" axis
+        (SURVEY.md §2.5 sequence parallelism). The smoother then runs its
+        FIR variant (halo exchange over ICI, ops/smooth.py) — a documented
+        deviation from the reference's recursive in-place smoothing, whose
+        frame t depends on smoothed frame t-1 and therefore cannot split
+        over chips; the FIR window reads original neighbours instead.
+        """
         import jax
 
         plan = plan_pose_track(ts, self.pdict, self.table, self.profile)
+        if mesh is not None:
+            from text2video_tpu.ops.smooth import smooth_fir_sharded
+
+            face, pose = synthesize_device(plan, self.table)
+            n = mesh.shape["data"]
+            t = face.shape[0]
+            # Each shard's block must be at least the halo width.
+            sw = self.profile.smooth_width
+            t_pad = n * max((t + n - 1) // n, sw)
+            import jax.numpy as jnp
+
+            fp = jnp.pad(face, ((0, t_pad - t), (0, 0)))
+            pp = jnp.pad(pose, ((0, t_pad - t), (0, 0)))
+            face_s, pose_s = smooth_fir_sharded(
+                fp, pp, mesh, self.profile.smooth_width, t_valid=t
+            )
+            return PoseResult(
+                face=np.asarray(face, np.float64),
+                pose=np.asarray(pose, np.float64),
+                face_smooth=np.asarray(face_s, np.float64)[:t],
+                pose_smooth=np.asarray(pose_s, np.float64)[:t],
+                plan=plan,
+            )
         if device:
             from text2video_tpu.ops.fused_pose import (
                 fits_vmem,
