@@ -129,6 +129,72 @@ def test_device_data_mode(dataset, tmp_path):
 
 
 @requires_reference_data
+def test_device_data_augmented(dataset, tmp_path):
+    """Augmented device-data training: labels re-rasterize on device per
+    step from jittered/dropped keypoints (train/augment.py)."""
+    from text2video_tpu.train.loop import train_gan
+    from text2video_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        height=96, width=128, face_crop=24, base_ch=8, n_blocks=1,
+        d_base_ch=8, use_vgg=False, dtype=jnp.float32,
+        aug_jitter_px=1.5, aug_drop_prob=0.05, aug_face_drop_prob=0.1,
+    )
+    logs = []
+    state = train_gan(
+        dataset, cfg, steps=2, batch_size=2, device_data=True,
+        log_every=1, log_fn=logs.append,
+    )
+    assert int(state.step) == 2
+    assert any("augmented" in l for l in logs)
+    assert any("g_loss" in l for l in logs)
+
+
+def test_augment_tracks_semantics():
+    """Jitter moves only confident points; drops zero confidence; face
+    drop blanks whole frames' face confidence."""
+    import jax
+
+    from text2video_tpu.train.augment import augment_tracks
+
+    m = 64
+    rng = np.random.RandomState(0)
+    def tr(n):
+        t = rng.rand(m, n * 3).astype(np.float32) * 100
+        t.reshape(m, n, 3)[..., 2] = 1.0
+        return jnp.asarray(t)
+    face, pose, hl, hr = tr(70), tr(25), tr(21), tr(21)
+    # Mark one point as unconfident; it must not move.
+    face = face.at[0, 2].set(0.0)
+    key = jax.random.PRNGKey(0)
+    f2, p2, l2, r2 = augment_tracks(
+        face, pose, hl, hr, key, drop_prob=0.0, jitter_px=2.0
+    )
+    assert not np.allclose(np.asarray(f2), np.asarray(face))
+    np.testing.assert_allclose(
+        np.asarray(f2)[0, :2], np.asarray(face)[0, :2]
+    )  # unconfident point untouched
+    # Confidences unchanged without drop.
+    np.testing.assert_array_equal(
+        np.asarray(f2).reshape(m, 70, 3)[..., 2],
+        np.asarray(face).reshape(m, 70, 3)[..., 2],
+    )
+    # Drop-only: some confidences zero, positions unchanged.
+    f3, _, _, _ = augment_tracks(
+        face, pose, hl, hr, key, drop_prob=0.5, jitter_px=0.0
+    )
+    conf3 = np.asarray(f3).reshape(m, 70, 3)[..., 2]
+    assert 0.2 < (conf3 == 0).mean() < 0.8
+    # Whole-face drop blanks every face conf of some frames.
+    f4, _, _, _ = augment_tracks(
+        face, pose, hl, hr, key, face_drop_prob=0.5
+    )
+    conf4 = np.asarray(f4).reshape(m, 70, 3)[..., 2]
+    frame_blank = (conf4 == 0).all(axis=1)
+    assert 0.2 < frame_blank.mean() < 0.8
+
+
+@requires_reference_data
 def test_training_snapshots(dataset, tmp_path):
     from text2video_tpu.train.loop import train_gan
     from text2video_tpu.train.trainer import TrainConfig

@@ -253,6 +253,7 @@ def cmd_train_gan(args) -> int:
     from text2video_tpu.train.loop import train_gan
     from text2video_tpu.train.trainer import TrainConfig
 
+    augmenting = args.aug_jitter > 0 or args.aug_drop > 0 or args.aug_face_drop > 0
     dataset = PoseClipDataset(
         images_dir=args.images,
         keypoints_dir=args.keypoints,
@@ -260,6 +261,9 @@ def cmd_train_gan(args) -> int:
         source_canvas=(args.source_width or args.width,
                        args.source_height or args.height),
         clip_len=args.clip_len,
+        # Augmented device-data training rasterizes labels on device per
+        # step; skip the init-time label cache entirely.
+        cache_labels=not (augmenting and args.device_data),
     )
     cfg = TrainConfig(
         height=args.height,
@@ -267,6 +271,9 @@ def cmd_train_gan(args) -> int:
         base_ch=args.base_ch,
         use_vgg=not args.no_vgg,
         lambda_l1=args.l1,
+        aug_jitter_px=args.aug_jitter,
+        aug_drop_prob=args.aug_drop,
+        aug_face_drop_prob=args.aug_face_drop,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -408,6 +415,13 @@ def main(argv=None) -> int:
     p.add_argument("--device-data", action="store_true",
                    help="keep the whole dataset in HBM; per-step traffic\n"
                    "becomes a [B,T] index array (slow-link hosts)")
+    p.add_argument("--aug-jitter", type=float, default=0.0,
+                   help="keypoint jitter sigma in px (augmentation; "
+                   "device-data only)")
+    p.add_argument("--aug-drop", type=float, default=0.0,
+                   help="per-keypoint drop probability (augmentation)")
+    p.add_argument("--aug-face-drop", type=float, default=0.0,
+                   help="per-frame whole-face drop probability")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

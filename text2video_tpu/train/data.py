@@ -181,17 +181,9 @@ class PoseClipDataset:
 
     # ---- device-resident mode helpers ---------------------------------
 
-    def flat_arrays(self):
-        """Whole dataset as flat arrays for device residency:
-        (labels_u8 [N,H,W,3], reals_u8 [N,H,W,3], centers [N,2])."""
-        if self._label_cache is None:
-            self._label_cache = [
-                rasterize_batch(
-                    f, p, h[:, 0], h[:, 1], self.canvas, chunk=64
-                )
-                for f, p, h in self._tracks
-            ]
-        labels = np.concatenate(self._label_cache, axis=0)
+    def flat_reals_centers(self):
+        """(reals_u8 [N,H,W,3], centers [N,2]) + clip offsets for
+        index-based sampling."""
         reals = np.concatenate(
             [
                 np.stack([self._load_image(f.image_path) for f in clip])
@@ -204,7 +196,35 @@ class PoseClipDataset:
         self._clip_offsets = np.cumsum(
             [0] + [len(c) for c in self.clips]
         )
+        return reals, centers
+
+    def flat_arrays(self):
+        """Whole dataset as flat arrays for device residency:
+        (labels_u8 [N,H,W,3], reals_u8 [N,H,W,3], centers [N,2])."""
+        if self._label_cache is None:
+            self._label_cache = [
+                rasterize_batch(
+                    f, p, h[:, 0], h[:, 1], self.canvas, chunk=64
+                )
+                for f, p, h in self._tracks
+            ]
+        labels = np.concatenate(self._label_cache, axis=0)
+        reals, centers = self.flat_reals_centers()
         return labels, reals, centers
+
+    def flat_track_arrays(self):
+        """Whole dataset as flat *keypoint* arrays for on-device per-step
+        rasterization (augmented training):
+        (face [N,210], pose [N,75], hand_l [N,63], hand_r [N,63])."""
+        face = np.concatenate([f for f, _, _ in self._tracks])
+        pose = np.concatenate([p for _, p, _ in self._tracks])
+        hands = np.concatenate([h for _, _, h in self._tracks])
+        return (
+            face.astype(np.float32),
+            pose.astype(np.float32),
+            hands[:, 0].astype(np.float32),
+            hands[:, 1].astype(np.float32),
+        )
 
     def sample_clip_indices(self, rng: np.random.RandomState) -> np.ndarray:
         """[clip_len] flat frame indices of one sampled clip (contiguous

@@ -83,40 +83,110 @@ def train_gan(
     state = jax.device_put(state, shard(specs_state))
     batch_sharding = NamedSharding(mesh, P("data"))
 
+    augment = device_data and (
+        cfg.aug_jitter_px > 0
+        or cfg.aug_drop_prob > 0
+        or cfg.aug_face_drop_prob > 0
+    )
     if device_data:
         import jax.numpy as jnp
 
-        labels_u8, reals_u8, centers_np = dataset.flat_arrays()
         repl = NamedSharding(mesh, P())
-        labels_all = jax.device_put(labels_u8, repl)
-        reals_all = jax.device_put(reals_u8, repl)
-        centers_all = jax.device_put(centers_np, repl)
-        log_fn(
-            f"device-resident dataset: {labels_u8.nbytes / 1e6:.0f} MB "
-            f"labels + {reals_u8.nbytes / 1e6:.0f} MB frames uploaded once"
-        )
+        if augment:
+            # Augmented mode: keep keypoint *tracks* resident (tiny) and
+            # re-rasterize perturbed label maps inside the step — fresh
+            # augmentation noise every step, no label upload at all
+            # (train/augment.py; reference keypoint2img.py:119-123).
+            from text2video_tpu.ops.rasterize import (
+                _rasterize_chunk,
+                _round_up,
+            )
+            from text2video_tpu.train.augment import augment_tracks
 
-        def gather_step(st, la, ra, ca, idx):
-            to_f = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
-            batch = {
-                "labels": jax.lax.with_sharding_constraint(
-                    to_f(la[idx]), batch_sharding
-                ),
-                "reals": jax.lax.with_sharding_constraint(
-                    to_f(ra[idx]), batch_sharding
-                ),
-                "face_centers": jax.lax.with_sharding_constraint(
-                    ca[idx], batch_sharding
-                ),
-            }
-            return step_fn(st, batch)
+            reals_u8, centers_np = dataset.flat_reals_centers()
+            tracks = [
+                jax.device_put(x, repl)
+                for x in dataset.flat_track_arrays()
+            ]
+            w, h = dataset.canvas
+            n_samples = _round_up(max(w, h), 128)
+            reals_all = jax.device_put(reals_u8, repl)
+            centers_all = jax.device_put(centers_np, repl)
+            log_fn(
+                f"device-resident dataset (augmented): "
+                f"{reals_u8.nbytes / 1e6:.0f} MB frames + keypoint tracks; "
+                "labels rasterize on device per step"
+            )
 
-        jit_step = jax.jit(
-            gather_step,
-            in_shardings=(shard(specs_state), repl, repl, repl, None),
-            out_shardings=(shard(specs_state), None),
-            donate_argnums=(0,),
-        )
+            def gather_step_aug(st, fa, pa, hl, hr, ra, ca, idx, key):
+                b, t = idx.shape
+                flat = idx.reshape(-1)
+                f, p, l, r = augment_tracks(
+                    fa[flat], pa[flat], hl[flat], hr[flat], key,
+                    drop_prob=cfg.aug_drop_prob,
+                    jitter_px=cfg.aug_jitter_px,
+                    face_drop_prob=cfg.aug_face_drop_prob,
+                )
+                labels_u8 = _rasterize_chunk(
+                    f, p, l, r, width=w, height=h, n_samples=n_samples
+                )
+                to_f = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+                batch = {
+                    "labels": jax.lax.with_sharding_constraint(
+                        to_f(labels_u8).reshape(b, t, h, w, 3),
+                        batch_sharding,
+                    ),
+                    "reals": jax.lax.with_sharding_constraint(
+                        to_f(ra[idx]), batch_sharding
+                    ),
+                    "face_centers": jax.lax.with_sharding_constraint(
+                        ca[idx], batch_sharding
+                    ),
+                }
+                return step_fn(st, batch)
+
+            jit_step = jax.jit(
+                gather_step_aug,
+                in_shardings=(
+                    shard(specs_state),
+                    repl, repl, repl, repl, repl, repl, None, None,
+                ),
+                out_shardings=(shard(specs_state), None),
+                donate_argnums=(0,),
+            )
+            aug_key = jax.random.PRNGKey(seed + 1)
+        else:
+            labels_u8, reals_u8, centers_np = dataset.flat_arrays()
+            labels_all = jax.device_put(labels_u8, repl)
+            reals_all = jax.device_put(reals_u8, repl)
+            centers_all = jax.device_put(centers_np, repl)
+            log_fn(
+                f"device-resident dataset: {labels_u8.nbytes / 1e6:.0f} MB "
+                f"labels + {reals_u8.nbytes / 1e6:.0f} MB frames uploaded "
+                "once"
+            )
+
+            def gather_step(st, la, ra, ca, idx):
+                to_f = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+                batch = {
+                    "labels": jax.lax.with_sharding_constraint(
+                        to_f(la[idx]), batch_sharding
+                    ),
+                    "reals": jax.lax.with_sharding_constraint(
+                        to_f(ra[idx]), batch_sharding
+                    ),
+                    "face_centers": jax.lax.with_sharding_constraint(
+                        ca[idx], batch_sharding
+                    ),
+                }
+                return step_fn(st, batch)
+
+            jit_step = jax.jit(
+                gather_step,
+                in_shardings=(shard(specs_state), repl, repl, repl, None),
+                out_shardings=(shard(specs_state), None),
+                donate_argnums=(0,),
+            )
     else:
         jit_step = jax.jit(
             step_fn,
@@ -175,7 +245,15 @@ def train_gan(
     frames_done = 0
     last_saved = -1
     for i in range(steps):
-        if device_data:
+        if augment:
+            idx = np.stack(
+                [dataset.sample_clip_indices(rng) for _ in range(batch_size)]
+            )
+            state, metrics = jit_step(
+                state, *tracks, reals_all, centers_all, idx,
+                jax.random.fold_in(aug_key, i),
+            )
+        elif device_data:
             idx = np.stack(
                 [dataset.sample_clip_indices(rng) for _ in range(batch_size)]
             )

@@ -68,6 +68,13 @@ class TrainConfig:
     # backward pass: the T-step scan otherwise saves every frame's
     # activations and blows HBM at full resolution.
     remat: bool = True
+    # Label augmentation (train/augment.py; reference vid2vid
+    # random_drop_prob / remove_face_labels, keypoint2img.py:119-123).
+    # Only active in device-data training, where labels re-rasterize on
+    # device each step.
+    aug_jitter_px: float = 0.0
+    aug_drop_prob: float = 0.0
+    aug_face_drop_prob: float = 0.0
     dtype: Any = jnp.bfloat16
 
 
