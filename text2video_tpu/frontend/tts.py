@@ -96,6 +96,31 @@ _NASALS_LIQUIDS = {"M", "N", "NG", "L", "R", "W", "Y"}
 
 _DUR = {"vowel": 0.14, "fricative": 0.09, "plosive": 0.06, "other": 0.08}
 
+# Mandarin initial/final units -> the synthesizer's ARPABET-ish classes
+# (frontend/align_mandarin.py decomposition). Finals become vowel(+coda)
+# formant sequences; initials map onto the closest consonant class.
+_ZH_INITIAL_PHONES = {
+    "b": ["B"], "p": ["P"], "m": ["M"], "f": ["F"], "d": ["D"],
+    "t": ["T"], "n": ["N"], "l": ["L"], "g": ["G"], "k": ["K"],
+    "h": ["HH"], "j": ["JH"], "q": ["CH"], "x": ["SH"], "zh": ["JH"],
+    "ch": ["CH"], "sh": ["SH"], "r": ["ZH"], "z": ["D", "Z"],
+    "c": ["T", "S"],
+}
+_ZH_FINAL_PHONES = {
+    "a": ["AA"], "o": ["AO"], "e": ["AH"], "i": ["IY"], "u": ["UW"],
+    "v": ["UW"], "ih": ["ER"], "ai": ["AY"], "ei": ["EY"], "ao": ["AW"],
+    "ou": ["OW"], "an": ["AA", "N"], "en": ["AH", "N"],
+    "ang": ["AA", "NG"], "eng": ["AH", "NG"], "ong": ["UH", "NG"],
+    "er": ["ER"], "ia": ["IY", "AA"], "ie": ["IY", "EH"],
+    "iao": ["IY", "AW"], "iou": ["IY", "OW"], "ian": ["IY", "EH", "N"],
+    "in": ["IH", "N"], "iang": ["IY", "AA", "NG"], "ing": ["IH", "NG"],
+    "iong": ["IY", "UH", "NG"], "ua": ["UW", "AA"], "uo": ["UW", "AO"],
+    "uai": ["UW", "AY"], "uei": ["UW", "EY"], "uan": ["UW", "AA", "N"],
+    "uen": ["UW", "AH", "N"], "uang": ["UW", "AA", "NG"],
+    "ueng": ["UW", "AH", "NG"], "ve": ["UW", "EH"],
+    "van": ["UW", "AE", "N"], "vn": ["UW", "N"],
+}
+
 
 @dataclasses.dataclass
 class FormantTTS:
@@ -114,18 +139,38 @@ class FormantTTS:
         rng = np.random.RandomState(0)
         chunks: List[np.ndarray] = [np.zeros(int(0.1 * sample_rate), np.float32)]
         words = transcript_words(text)
+        pause_s = self.pause_s
         if words:
             units = [self._phones(w) for w in words]
         else:
-            # Chinese text: one generic voiced syllable per pinyin token.
-            from text2video_tpu.frontend.pinyin import to_pinyin  # noqa: PLC0415
+            # Chinese text: per-syllable initial/final formant synthesis
+            # (frontend/align_mandarin decomposition), short inter-
+            # syllable gaps — articulated per syllable, not one generic
+            # vowel for everything.
+            from text2video_tpu.frontend.align_mandarin import (  # noqa: PLC0415
+                expand_walk_stream,
+                pinyin_to_phones,
+            )
 
-            units = [["AH"] for tok in to_pinyin(text) if tok.strip()]
+            units = []
+            for tok in expand_walk_stream(text):
+                parts = pinyin_to_phones(tok)
+                if parts is None:
+                    units.append(["AH"])
+                    continue
+                phones: List[str] = []
+                for p in parts:
+                    phones.extend(
+                        _ZH_INITIAL_PHONES.get(p)
+                        or _ZH_FINAL_PHONES.get(p, ["AH"])
+                    )
+                units.append(phones)
+            pause_s = 0.04
         for phones in units:
             for ph in phones:
                 chunks.append(self._phone_wave(ph, sample_rate, rng))
             chunks.append(
-                np.zeros(int(self.pause_s * sample_rate), np.float32)
+                np.zeros(int(pause_s * sample_rate), np.float32)
             )
         chunks.append(np.zeros(int(0.1 * sample_rate), np.float32))
         wave = np.concatenate(chunks)
