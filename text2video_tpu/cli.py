@@ -317,6 +317,47 @@ def cmd_build_dict(args) -> int:
     return 0
 
 
+def cmd_build_dict_zh(args) -> int:
+    """Build a 2-col pinyin-pose dictionary from one long recording of
+    the prompt list (the reference handcrafts dict_{person}.txt from such
+    a recording, README.md:117-156; here the Mandarin forced aligner
+    times each syllable automatically)."""
+    from text2video_tpu.dictbuild import (
+        build_pinyin_dict,
+        load_prompts,
+        prompt_coverage,
+        write_pinyin_dict,
+    )
+    from text2video_tpu.frontend.align_mandarin import MandarinAligner
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+    from text2video_tpu.frontend.timestamps import Timestamps
+
+    aligner = MandarinAligner.load(args.aligner_model)
+    samples = load_wav_for_alignment(args.wav)
+    if args.transcript.isascii():
+        stream = args.transcript.split()
+    else:
+        from text2video_tpu.frontend.align_mandarin import expand_walk_stream
+
+        stream = expand_walk_stream(args.transcript)
+    spans = aligner.align_stream(samples, stream)
+    ts = Timestamps(
+        entries=tuple(
+            (int((s.start + (s.end - s.start) / 2) * args.fps + 0.5),
+             s.syllable)
+            for s in spans
+        )
+    )
+    entries = build_pinyin_dict(ts, max_frame=args.max_frame or None)
+    write_pinyin_dict(entries, args.out)
+    info = {"dict": args.out, "symbols": len(entries)}
+    if args.prompts:
+        missing = prompt_coverage(load_prompts(args.prompts), entries)
+        info["missing_prompts"] = len(missing)
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -393,6 +434,25 @@ def main(argv=None) -> int:
         "triples", nargs="+", help="clip1 wav1 'transcript 1' clip2 ..."
     )
     p.set_defaults(fn=cmd_build_dict)
+
+    p = sub.add_parser(
+        "build-dict-zh",
+        help="build a pinyin-pose dictionary from one prompt recording",
+    )
+    p.add_argument("--out", required=True, help="output dict path")
+    p.add_argument("--aligner-model", required=True,
+                   help="Mandarin .am (train-aligner-zh)")
+    p.add_argument("--wav", required=True, help="the prompt recording")
+    p.add_argument("--transcript", required=True,
+                   help="hanzi text or space-separated pinyin stream read "
+                   "in the recording")
+    p.add_argument("--fps", type=float, default=25.0,
+                   help="video frame rate of the recording")
+    p.add_argument("--max-frame", type=int, default=0)
+    p.add_argument("--prompts", default=None,
+                   help="prompt list to check coverage against "
+                   "(e.g. prompts/all_pinyin.txt)")
+    p.set_defaults(fn=cmd_build_dict_zh)
 
     p = sub.add_parser("train-gan", help="train the pose2frame GAN")
     p.add_argument("--images", required=True, help="real frame dir")
