@@ -210,3 +210,55 @@ def test_training_snapshots(dataset, tmp_path):
     )
     snaps = [f for f in os.listdir(ckpt_dir) if f.startswith("sample_")]
     assert len(snaps) == 2
+
+
+def test_reference_flow_convention():
+    """Farneback reference flow must satisfy ops/warp.flow_warp's
+    convention: warp(prev, flow) ~ cur on a translating pattern."""
+    import jax.numpy as jnp2
+
+    from text2video_tpu.ops.warp import flow_warp
+    from text2video_tpu.train.data import PoseClipDataset
+
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        127 + 60 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+    ).astype(np.uint8)
+    prev = np.stack([base] * 3, -1)
+    cur = np.roll(prev, shift=3, axis=1)  # content moves +3 px in x
+    reals = np.stack([prev, cur])
+    flow = PoseClipDataset.reference_flow(reals)
+    assert flow.shape == (1, h, w, 2)
+    # Inner region: backward flow dx ~ -3 (cur pixel came from x-3).
+    inner = flow[0, 16:-16, 16:-16, 0]
+    assert abs(inner.mean() + 3.0) < 0.5, inner.mean()
+    warped = np.asarray(
+        flow_warp(
+            jnp2.asarray(prev[None].astype(np.float32)),
+            jnp2.asarray(flow[:1]),
+        )
+    )[0]
+    err = np.abs(warped[8:-8, 8:-8] - cur[8:-8, 8:-8].astype(np.float32))
+    assert err.mean() < 10, err.mean()
+
+
+@requires_reference_data
+def test_train_step_with_reference_flow(dataset):
+    """One train step consuming Farneback flow_gt stays finite."""
+    import jax
+
+    from text2video_tpu.train.trainer import TrainConfig, create_trainer_state, make_train_step
+
+    cfg = TrainConfig(
+        height=96, width=128, face_crop=24, base_ch=8, n_blocks=1,
+        d_base_ch=8, use_vgg=False, dtype=jnp.float32,
+        flow_supervision="reference",
+    )
+    state = create_trainer_state(cfg, seed=0)
+    step = jax.jit(make_train_step(cfg))
+    batch = dataset.batch(np.random.RandomState(0), 2, with_flow=True)
+    assert batch["flow_gt"].shape == (2, 3, 96, 128, 2)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["g_flow"]))
+    assert np.isfinite(float(metrics["g_loss"]))

@@ -274,6 +274,7 @@ def cmd_train_gan(args) -> int:
         aug_jitter_px=args.aug_jitter,
         aug_drop_prob=args.aug_drop,
         aug_face_drop_prob=args.aug_face_drop,
+        flow_supervision=args.flow,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -482,6 +483,10 @@ def main(argv=None) -> int:
                    help="per-keypoint drop probability (augmentation)")
     p.add_argument("--aug-face-drop", type=float, default=0.0,
                    help="per-frame whole-face drop probability")
+    p.add_argument("--flow", choices=["photometric", "reference"],
+                   default="photometric",
+                   help="flow loss: self-supervised warp or Farneback "
+                   "reference fields (host data path)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

@@ -80,6 +80,21 @@ def flow_loss(
     return photo + tv_weight * flow_tv(flow)
 
 
+def flow_supervised_loss(
+    flow: jax.Array,
+    flow_gt: jax.Array,
+    tv_weight: float = 0.01,
+) -> jax.Array:
+    """Supervise flow against a reference flow field (vid2vid uses
+    FlowNet2 output as ground truth; here train/data.py provides
+    Farneback flow between the sampled real frames): mean endpoint L1 +
+    smoothness."""
+    epe = jnp.mean(
+        jnp.abs(flow.astype(jnp.float32) - flow_gt.astype(jnp.float32))
+    )
+    return epe + tv_weight * flow_tv(flow)
+
+
 def l1(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(
         jnp.abs(a.astype(jnp.float32) - jax.lax.stop_gradient(b).astype(jnp.float32))

@@ -155,6 +155,28 @@ class PoseClipDataset:
             self._image_cache[path] = img
         return img
 
+    @staticmethod
+    def reference_flow(reals: np.ndarray) -> np.ndarray:
+        """[T,H,W,3] uint8 frames -> [T-1,H,W,2] float32 backward flow
+        (Farneback; flow[t] maps frame t+1's pixels into frame t, the
+        convention ops/warp.flow_warp samples with). Plays the role of
+        vid2vid's FlowNet2 ground-truth flow."""
+        t = reals.shape[0]
+        grays = [
+            cv2.cvtColor(reals[i], cv2.COLOR_RGB2GRAY) for i in range(t)
+        ]
+        flows = np.empty(
+            (t - 1,) + reals.shape[1:3] + (2,), np.float32
+        )
+        for i in range(t - 1):
+            # (cur, prev) order: the field lives on frame i+1's grid and
+            # points back into frame i.
+            flows[i] = cv2.calcOpticalFlowFarneback(
+                grays[i + 1], grays[i], None,
+                0.5, 3, 15, 3, 5, 1.2, 0,
+            )
+        return flows
+
     def sample_clip(self, rng: np.random.RandomState):
         """-> (labels [T,H,W,3] u8, reals [T,H,W,3] u8, centers [T,2])."""
         ci = rng.randint(len(self.clips))
@@ -241,13 +263,23 @@ class PoseClipDataset:
             start, start + span, stride, dtype=np.int32
         )
 
-    def batch(self, rng: np.random.RandomState, batch_size: int) -> Dict:
+    def batch(
+        self,
+        rng: np.random.RandomState,
+        batch_size: int,
+        with_flow: bool = False,
+    ) -> Dict:
         labels, reals, centers = zip(
             *[self.sample_clip(rng) for _ in range(batch_size)]
         )
         to_f = lambda x: np.stack(x).astype(np.float32) / 127.5 - 1.0
-        return {
+        out = {
             "labels": to_f(labels),
             "reals": to_f(reals),
             "face_centers": np.stack(centers).astype(np.float32),
         }
+        if with_flow:
+            out["flow_gt"] = np.stack(
+                [self.reference_flow(r) for r in reals]
+            )
+        return out

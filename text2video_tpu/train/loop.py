@@ -261,7 +261,10 @@ def train_gan(
                 state, labels_all, reals_all, centers_all, idx
             )
         else:
-            batch = dataset.batch(rng, batch_size)
+            batch = dataset.batch(
+                rng, batch_size,
+                with_flow=cfg.flow_supervision == "reference",
+            )
             batch = jax.device_put(batch, batch_sharding)
             state, metrics = jit_step(state, batch)
         frames_done += batch_size * dataset.clip_len

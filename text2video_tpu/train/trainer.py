@@ -75,6 +75,10 @@ class TrainConfig:
     aug_jitter_px: float = 0.0
     aug_drop_prob: float = 0.0
     aug_face_drop_prob: float = 0.0
+    # "photometric": self-supervised warp loss; "reference": supervise
+    # against Farneback flow between the sampled real frames (vid2vid's
+    # FlowNet-GT role; host data path only).
+    flow_supervision: str = "photometric"
     dtype: Any = jnp.bfloat16
 
 
@@ -278,11 +282,19 @@ def make_train_step(cfg: TrainConfig):
             vf = vgg_apply(vgg_params, fakes_f)
             vr = vgg.apply(vgg_params, jax.lax.stop_gradient(reals_flat))
             g_vgg = L.perceptual(vf, vr)
-        g_flow = L.flow_loss(
-            _flatten_bt(flows[:, 1:]),
-            _flatten_bt(reals_f32[:, :-1]),
-            _flatten_bt(reals_f32[:, 1:]),
-        )
+        if "flow_gt" in batch:
+            # Reference-flow supervision (vid2vid's FlowNet role; here
+            # Farneback fields from train/data.py).
+            g_flow = L.flow_supervised_loss(
+                _flatten_bt(flows[:, 1:]),
+                _flatten_bt(batch["flow_gt"].astype(jnp.float32)),
+            )
+        else:
+            g_flow = L.flow_loss(
+                _flatten_bt(flows[:, 1:]),
+                _flatten_bt(reals_f32[:, :-1]),
+                _flatten_bt(reals_f32[:, 1:]),
+            )
         g_loss = (
             g_adv
             + cfg.lambda_fm * g_fm
