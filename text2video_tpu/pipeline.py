@@ -60,19 +60,23 @@ class RunResult:
     stage_seconds: Optional[dict] = None      # per-stage wall clock
 
 
-def _default_mandarin_aligner():
-    """The packaged Mandarin acoustic model, or None if absent/unbuildable."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "data", "mandarin.am"
-    )
-    if not os.path.exists(path):
-        return None
-    try:
-        from text2video_tpu.frontend.align_mandarin import MandarinAligner
+def _default_mandarin_aligner(person: str = ""):
+    """The packaged Mandarin acoustic model (speaker-dependent
+    ``mandarin_<person>.am`` when shipped, else the joint model), or None
+    if absent/unbuildable."""
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    for name in (f"mandarin_{person}.am", "mandarin.am"):
+        path = os.path.join(data, name)
+        if os.path.exists(path):
+            try:
+                from text2video_tpu.frontend.align_mandarin import (
+                    MandarinAligner,
+                )
 
-        return MandarinAligner.load(path)
-    except Exception:
-        return None
+                return MandarinAligner.load(path)
+            except Exception:
+                return None
+    return None
 
 
 class Text2VideoPipeline:
@@ -110,7 +114,7 @@ class Text2VideoPipeline:
             and asr is None
             and self.profile.language == "zh"
         ):
-            mandarin_aligner = _default_mandarin_aligner()
+            mandarin_aligner = _default_mandarin_aligner(self.profile.name)
         self.mandarin_aligner = mandarin_aligner
 
     # ---- shared tail: timestamps -> video --------------------------------
