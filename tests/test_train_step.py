@@ -97,3 +97,53 @@ def test_train_step_sharded_matches_single_device():
         np.testing.assert_allclose(
             float(metrics_ref[k]), float(metrics_sh[k]), rtol=2e-3, atol=2e-5
         )
+
+
+def test_d_gradients_live_on_fakes():
+    """Regression: the D objective must receive gradient from the
+    fake->0 term, not only from reals (a stop_gradient on D *outputs*
+    once zeroed it, collapsing adversarial training)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text2video_tpu.train.trainer import (
+        TrainConfig,
+        create_trainer_state,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        height=32, width=32, face_crop=16, base_ch=4, n_blocks=1,
+        d_base_ch=4, use_vgg=False, dtype=jnp.float32,
+        temporal_strides=(1,),
+    )
+    state = create_trainer_state(cfg, seed=0)
+    rng = np.random.RandomState(0)
+    t = cfg.temporal_window + 1
+    batch = {
+        "labels": jnp.asarray(rng.randn(1, t, 32, 32, 3), jnp.float32),
+        "reals": jnp.asarray(rng.randn(1, t, 32, 32, 3), jnp.float32),
+        "face_centers": jnp.full((1, t, 2), 16.0, jnp.float32),
+    }
+
+    # Reals == a constant gray image would make real-only D gradients
+    # vanish after it fits; instead compare D grads with fakes included
+    # vs a D loss computed on reals only. Cheaper check: the d_loss
+    # gradient w.r.t. d_params must differ when the generator params
+    # change (only the fake branch depends on them).
+    step = jax.jit(make_train_step(cfg))
+    s1, m1 = step(state, batch)
+    g2 = jax.tree.map(lambda x: x * 1.5, state.g_params)
+    s2, m2 = step(state.replace(g_params=g2), batch)
+    d_delta = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree.map(
+            lambda a, b: a - b, s1.d_params, s2.d_params
+        ),
+        0.0,
+    )
+    assert d_delta > 1e-6, (
+        "discriminator update is insensitive to the generator's output — "
+        "the fake term contributes no gradient"
+    )
