@@ -210,18 +210,22 @@ class Renderer:
         host = [np.asarray(c[0]) for c in outs]
         return np.concatenate(host, axis=0)[:t]
 
-    def render_stream_yuv(self, label_chunks, t: int):
+    def render_stream_yuv(self, label_chunks, t: int, pull_threads: int = 4):
         """Stream-render on-device uint8 label chunks to per-chunk host
         YUV420 planes: yields (y [n,H,W], u [n,H/2,W/2], v [n,H/2,W/2])
         uint8 numpy arrays, n summing to ``t``.
 
         All chunk programs are dispatched up front (JAX async dispatch),
         so device compute for chunk i+1.. overlaps the host pull of chunk
-        i — through a slow host link the wall clock is max(compute,
-        transfer), not the sum, and YUV420 halves the transferred bytes.
-        The consumer (io/video.StreamingMuxer) encodes each chunk as it
-        lands, off the critical path.
+        i, and YUV420 halves the transferred bytes. Pulls run on a small
+        thread pool: a tunneled host link carries ~2x the aggregate
+        bandwidth with 3-4 concurrent transfers (each stream is
+        round-trip-latency-bound), so the wall clock is
+        max(compute, parallel-transfer), not a serial drain. Results
+        still yield in frame order for the muxer.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         if not label_chunks:
             raise ValueError("no label chunks")
         h, w = label_chunks[0].shape[1:3]
@@ -238,16 +242,25 @@ class Renderer:
             device_out.append((y, u, v, chunk.shape[0]))
             done += chunk.shape[0]
         remaining = min(t, self.config.max_frames, done)
-        for y, u, v, n in device_out:
-            n = min(n, remaining)
-            if n <= 0:
-                break
-            yield (
-                np.asarray(y[0][:n]),
-                np.asarray(u[0][:n]),
-                np.asarray(v[0][:n]),
-            )
-            remaining -= n
+        pool = ThreadPoolExecutor(max_workers=max(pull_threads, 1))
+        try:
+            futures = []
+            rem = remaining
+            for y, u, v, n in device_out:
+                n = min(n, rem)
+                if n <= 0:
+                    break
+                futures.append(
+                    tuple(
+                        pool.submit(np.asarray, a[0][:n])
+                        for a in (y, u, v)
+                    )
+                )
+                rem -= n
+            for fy, fu, fv in futures:
+                yield fy.result(), fu.result(), fv.result()
+        finally:
+            pool.shutdown(wait=False)
 
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
         """[B, T, H, W, 3] uint8 -> [B, T, H, W, 3] uint8 frames.
