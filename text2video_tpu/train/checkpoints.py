@@ -63,6 +63,8 @@ def load_config(ckpt_dir: str) -> Optional[dict]:
 
 
 def latest_step_dir(ckpt_dir: str) -> Optional[str]:
+    # Orbax requires absolute restore paths.
+    ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
     steps = sorted(
