@@ -275,6 +275,7 @@ def cmd_train_gan(args) -> int:
         aug_drop_prob=args.aug_drop,
         aug_face_drop_prob=args.aug_face_drop,
         flow_supervision=args.flow,
+        d_lr_scale=args.d_lr_scale,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -487,6 +488,9 @@ def main(argv=None) -> int:
                    default="photometric",
                    help="flow loss: self-supervised warp or Farneback "
                    "reference fields (host data path)")
+    p.add_argument("--d-lr-scale", type=float, default=1.0,
+                   help="discriminator lr multiplier (slow D for "
+                   "small-data stability)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

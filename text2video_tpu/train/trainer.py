@@ -54,6 +54,11 @@ class TrainConfig:
     num_d: int = 2
     lr: float = 2e-4
     beta1: float = 0.5
+    # Discriminator learning-rate multiplier (reverse-TTUR). The full-size
+    # Ds easily memorize a single-person dataset and saturate (d_loss ->
+    # 0, adversarial gradient fighting reconstruction); slowing D keeps
+    # the game informative in small-data regimes.
+    d_lr_scale: float = 1.0
     lambda_fm: float = 10.0
     lambda_vgg: float = 10.0
     lambda_flow: float = 10.0
@@ -118,6 +123,10 @@ def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(cfg.lr, b1=cfg.beta1, b2=0.999)
 
 
+def _d_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(cfg.lr * cfg.d_lr_scale, b1=cfg.beta1, b2=0.999)
+
+
 def create_trainer_state(
     cfg: TrainConfig, seed: int = 0, vgg_params: Optional[Any] = None
 ) -> TrainerState:
@@ -143,14 +152,13 @@ def create_trainer_state(
         vgg_params = {
             "params": vgg.init(kv, jnp.zeros((1, 64, 64, 3)))["params"]
         }
-    opt = _optimizer(cfg)
     return TrainerState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
         d_params=d_params,
         vgg_params=vgg_params,
-        g_opt=opt.init(g_params),
-        d_opt=opt.init(d_params),
+        g_opt=_optimizer(cfg).init(g_params),
+        d_opt=_d_optimizer(cfg).init(d_params),
     )
 
 
@@ -218,6 +226,7 @@ def make_train_step(cfg: TrainConfig):
     """
     gen, d_image, d_temporal, d_face, vgg = _models(cfg)
     opt = _optimizer(cfg)
+    d_opt_tx = _d_optimizer(cfg)
 
     def d_apply_pairs(d_params, labels_f, frames_f):
         return d_image.apply(
@@ -346,7 +355,9 @@ def make_train_step(cfg: TrainConfig):
         metrics = dict(metrics, d_loss=d_loss)
 
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
-        d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+        d_updates, d_opt = d_opt_tx.update(
+            d_grads, state.d_opt, state.d_params
+        )
         new_state = state.replace(
             step=state.step + 1,
             g_params=optax.apply_updates(state.g_params, g_updates),
