@@ -28,19 +28,19 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _chunk_flops(renderer, labels) -> float:
-    """XLA's own cost analysis of one compiled render chunk (FLOPs)."""
-    import jax
+    """XLA's cost analysis of the render-chunk program (FLOPs).
 
+    Lowers through the SAME jitted function the render path uses, so the
+    compilation cache serves the executable compiled during warm-up —
+    no second multi-minute remote compile on tunneled devices."""
     chunk = labels[:, : renderer.time_bucket]
     carry = renderer.init_carry(
         labels.shape[0], *renderer.target_hw(*labels.shape[2:4])
     )
     try:
-        compiled = (
-            jax.jit(renderer._render_chunk_impl)
-            .lower(renderer.params, chunk, carry)
-            .compile()
-        )
+        compiled = renderer._render_chunk.lower(
+            renderer.params, chunk, carry
+        ).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # some backends return [dict]
             cost = cost[0]

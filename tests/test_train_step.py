@@ -99,6 +99,41 @@ def test_train_step_sharded_matches_single_device():
         )
 
 
+def test_recon_pretrain_mode_skips_discriminators():
+    """lambda_adv=0 trains G by reconstruction only: adv/FM metrics are
+    zero, D parameters stay at init, and repeated steps drive L1 down
+    (the curriculum's pretrain phase — see TrainConfig.lambda_adv)."""
+    cfg = TrainConfig(
+        height=32, width=32, face_crop=8, base_ch=8, n_blocks=1,
+        d_base_ch=8, use_vgg=False, lambda_adv=0.0, lambda_l1=10.0,
+        lambda_flow=0.0, dtype=jnp.float32,
+    )
+    state = create_trainer_state(cfg)
+    step = jax.jit(make_train_step(cfg))
+    # A learnable (constant) target — random-noise reals have no
+    # structure for L1 to fit, so the loss would sit at the noise floor.
+    batch = _batch()
+    batch["reals"] = np.full_like(batch["reals"], 0.5)
+    s, m = state, None
+    first_loss = None
+    for _ in range(10):
+        s, m = step(s, batch)
+        if first_loss is None:
+            first_loss = float(m["g_loss"])
+    assert float(m["g_adv"]) == 0.0 and float(m["g_fm"]) == 0.0
+    assert float(m["d_loss"]) == 0.0
+    d_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+            state.d_params,
+            s.d_params,
+        ),
+    )
+    assert d_delta == 0.0
+    assert float(m["g_loss"]) < first_loss
+
+
 def test_d_gradients_live_on_fakes():
     """Regression: the D objective must receive gradient from the
     fake->0 term, not only from reals (a stop_gradient on D *outputs*

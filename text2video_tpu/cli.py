@@ -276,6 +276,7 @@ def cmd_train_gan(args) -> int:
         aug_face_drop_prob=args.aug_face_drop,
         flow_supervision=args.flow,
         d_lr_scale=args.d_lr_scale,
+        lambda_adv=args.lambda_adv,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -491,6 +492,9 @@ def main(argv=None) -> int:
     p.add_argument("--d-lr-scale", type=float, default=1.0,
                    help="discriminator lr multiplier (slow D for "
                    "small-data stability)")
+    p.add_argument("--lambda-adv", type=float, default=1.0,
+                   help="adversarial weight; 0 = pure reconstruction "
+                   "pretrain (no discriminators built or updated)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

@@ -59,6 +59,16 @@ class TrainConfig:
     # 0, adversarial gradient fighting reconstruction); slowing D keeps
     # the game informative in small-data regimes.
     d_lr_scale: float = 1.0
+    # Weight on every adversarial G term (image/temporal/face). 0.0
+    # statically disables the GAN game: no discriminator is applied or
+    # updated and FM is off — pure reconstruction (L1/VGG/flow)
+    # pretraining. Per-person datasets are tiny (a few thousand frames of
+    # one subject); a fresh D memorizes them within a few hundred steps
+    # and its saturated gradient then dominates G's update direction under
+    # Adam's per-parameter normalization, stalling reconstruction. The
+    # stable curriculum is recon pretrain (lambda_adv=0) then a short
+    # adversarial finetune (resume with lambda_adv>0; D starts fresh).
+    lambda_adv: float = 1.0
     lambda_fm: float = 10.0
     lambda_vgg: float = 10.0
     lambda_flow: float = 10.0
@@ -271,18 +281,22 @@ def make_train_step(cfg: TrainConfig):
         reals_flat = _flatten_bt(reals_f32)
         centers_f = _flatten_bt(centers)
 
-        d_fake, t_fakes, f_fake = apply_discriminators(
-            d_params, labels_f, fakes, fakes_f, centers_f
-        )
-        # Image-D real features are only needed as FM targets here.
-        d_real = d_apply_pairs(d_params, labels_f, reals_flat)
+        if cfg.lambda_adv > 0.0:
+            d_fake, t_fakes, f_fake = apply_discriminators(
+                d_params, labels_f, fakes, fakes_f, centers_f
+            )
+            # Image-D real features are only needed as FM targets here.
+            d_real = d_apply_pairs(d_params, labels_f, reals_flat)
 
-        g_adv = (
-            L.lsgan_g(d_fake)
-            + cfg.lambda_temp * sum(L.lsgan_g(t) for t in t_fakes)
-            + cfg.lambda_face * L.lsgan_g(f_fake)
-        )
-        g_fm = L.feature_matching(d_real, d_fake)
+            g_adv = cfg.lambda_adv * (
+                L.lsgan_g(d_fake)
+                + cfg.lambda_temp * sum(L.lsgan_g(t) for t in t_fakes)
+                + cfg.lambda_face * L.lsgan_g(f_fake)
+            )
+            g_fm = L.feature_matching(d_real, d_fake)
+        else:
+            g_adv = jnp.zeros(())
+            g_fm = jnp.zeros(())
         g_vgg = jnp.zeros(())
         if cfg.use_vgg:
             vgg_apply = (
@@ -349,19 +363,26 @@ def make_train_step(cfg: TrainConfig):
         (g_loss, (metrics, fakes)), g_grads = jax.value_and_grad(
             g_objective, has_aux=True
         )(state.g_params, state.d_params, state.vgg_params, batch)
-        d_loss, d_grads = jax.value_and_grad(d_objective)(
-            state.d_params, batch, jax.lax.stop_gradient(fakes)
-        )
+        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+
+        if cfg.lambda_adv > 0.0:
+            d_loss, d_grads = jax.value_and_grad(d_objective)(
+                state.d_params, batch, jax.lax.stop_gradient(fakes)
+            )
+            d_updates, d_opt = d_opt_tx.update(
+                d_grads, state.d_opt, state.d_params
+            )
+            d_params = optax.apply_updates(state.d_params, d_updates)
+        else:
+            # Recon pretrain: Ds stay at init (fresh for the finetune).
+            d_loss = jnp.zeros(())
+            d_params, d_opt = state.d_params, state.d_opt
         metrics = dict(metrics, d_loss=d_loss)
 
-        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
-        d_updates, d_opt = d_opt_tx.update(
-            d_grads, state.d_opt, state.d_params
-        )
         new_state = state.replace(
             step=state.step + 1,
             g_params=optax.apply_updates(state.g_params, g_updates),
-            d_params=optax.apply_updates(state.d_params, d_updates),
+            d_params=d_params,
             g_opt=g_opt,
             d_opt=d_opt,
         )
