@@ -134,6 +134,42 @@ def test_recon_pretrain_mode_skips_discriminators():
     assert float(m["g_loss"]) < first_loss
 
 
+def test_autoregressive_carry_is_detached():
+    """Regression: gradients must NOT backprop through the generated
+    frames fed back as next-step conditioning (cfg.bptt=False, vid2vid's
+    fake_B_prev detach). Full BPTT compounds the CNN's input-to-output
+    Jacobian over the T-step unroll — measured grad RMS ~1e4-1e5 at
+    realistic depth, which reduces Adam updates to amplified noise and
+    stalls training. Guard: the same step with bptt=True must produce a
+    strictly larger gradient second-moment than the detached default."""
+    rng = np.random.RandomState(1)
+    t = 6
+    batch = {
+        "labels": rng.rand(1, t, 32, 32, 3).astype(np.float32) * 2 - 1,
+        "reals": rng.rand(1, t, 32, 32, 3).astype(np.float32) * 2 - 1,
+        "face_centers": np.full((1, t, 2), 16.0, np.float32),
+    }
+
+    def max_nu(bptt: bool) -> float:
+        cfg = TrainConfig(
+            height=32, width=32, face_crop=8, base_ch=8, n_blocks=2,
+            d_base_ch=8, use_vgg=False, lambda_adv=0.0, lambda_l1=10.0,
+            bptt=bptt, dtype=jnp.float32,
+        )
+        state = create_trainer_state(cfg)
+        s, _ = jax.jit(make_train_step(cfg))(state, batch)
+        return max(
+            float(jnp.abs(v).max())
+            for v in jax.tree_util.tree_leaves(s.g_opt[0].nu)
+        )
+
+    detached, full = max_nu(False), max_nu(True)
+    assert detached < full, (detached, full)
+    # Detached gradients stay O(1): second moment after one step is
+    # 1e-3 * grad^2, so grad RMS = sqrt(nu / 1e-3) must be modest.
+    assert (detached / 1e-3) ** 0.5 < 1e2, detached
+
+
 def test_d_gradients_live_on_fakes():
     """Regression: the D objective must receive gradient from the
     fake->0 term, not only from reals (a stop_gradient on D *outputs*

@@ -277,6 +277,7 @@ def cmd_train_gan(args) -> int:
         flow_supervision=args.flow,
         d_lr_scale=args.d_lr_scale,
         lambda_adv=args.lambda_adv,
+        lr=args.lr,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -495,6 +496,9 @@ def main(argv=None) -> int:
     p.add_argument("--lambda-adv", type=float, default=1.0,
                    help="adversarial weight; 0 = pure reconstruction "
                    "pretrain (no discriminators built or updated)")
+    p.add_argument("--lr", type=float, default=2e-4,
+                   help="Adam learning rate (recon pretrain tolerates "
+                   "higher, e.g. 5e-4)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

@@ -94,6 +94,14 @@ class TrainConfig:
     # against Farneback flow between the sampled real frames (vid2vid's
     # FlowNet-GT role; host data path only).
     flow_supervision: str = "photometric"
+    # Backprop-through-time through the autoregressive feedback. False
+    # (default) stops gradients on the generated frames fed back as the
+    # next step's conditioning — vid2vid detaches fake_B_prev the same
+    # way. Full BPTT compounds the CNN's input-to-output Jacobian gain
+    # over the T-step unroll (measured: per-parameter gradient RMS ~1e5
+    # at T=12/512x384 vs ~1e-1 per frame), so Adam sees amplified noise
+    # and training stalls.
+    bptt: bool = False
     dtype: Any = jnp.bfloat16
 
 
@@ -196,7 +204,8 @@ def _generate_clip(gen, cfg: TrainConfig, g_params, labels, reals):
         has_prev = jnp.broadcast_to((step > 0).astype(dt), (b,))
         frame, flow, mask = gen_apply(g_params, ctx, prev_i, has_prev)
         frame = frame.astype(dt)
-        new_prev_i = jnp.concatenate([frame, prev_i[..., :-3]], axis=-1)
+        fed_back = frame if cfg.bptt else jax.lax.stop_gradient(frame)
+        new_prev_i = jnp.concatenate([fed_back, prev_i[..., :-3]], axis=-1)
         new_prev_l = jnp.concatenate([lab, prev_l[..., :-3]], axis=-1)
         return (new_prev_i, new_prev_l, step + 1), (frame, flow)
 
