@@ -27,26 +27,37 @@ TIMED_RUNS = 3
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _chunk_flops(renderer, labels) -> float:
-    """XLA's cost analysis of the render-chunk program (FLOPs).
+def _analytic_frame_flops(
+    h: int,
+    w: int,
+    base_ch: int = 64,
+    n_downsample: int = 3,
+    n_blocks: int = 9,
+    label_ch: int = 9,
+    prev_ch: int = 6,
+) -> float:
+    """Closed-form conv FLOPs of one CompositeGenerator forward.
 
-    Lowers through the SAME jitted function the render path uses, so the
-    compilation cache serves the executable compiled during warm-up —
-    no second multi-minute remote compile on tunneled devices."""
-    chunk = labels[:, : renderer.time_bucket]
-    carry = renderer.init_carry(
-        labels.shape[0], *renderer.target_hw(*labels.shape[2:4])
-    )
-    try:
-        compiled = renderer._render_chunk.lower(
-            renderer.params, chunk, carry
-        ).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):  # some backends return [dict]
-            cost = cost[0]
-        return float(cost["flops"])
-    except Exception:
-        return float("nan")
+    XLA's ``cost_analysis()`` on the tunneled TPU backend reports
+    convolutions as custom calls with no flop count (measured: 13.6 GF vs
+    ~395 GF analytic for the 512x384 generator), so MFU from it is ~30x
+    low. Counted: every conv at 2*H*W*Cin*Cout*K^2; elementwise/norm/warp
+    work is <1% and ignored."""
+    mac = 0.0
+    ch = base_ch
+    mac += h * w * (label_ch + prev_ch) * ch * 49  # 7x7 stem
+    hh, ww = h, w
+    for _ in range(n_downsample):
+        hh, ww = hh // 2, ww // 2
+        mac += hh * ww * ch * (2 * ch) * 9
+        ch *= 2
+    mac += n_blocks * 2 * (hh * ww * ch * ch * 9)
+    for _ in range(n_downsample):
+        hh, ww = hh * 2, ww * 2
+        mac += hh * ww * ch * (ch // 2) * 9
+        ch //= 2
+    mac += h * w * ch * 6 * 49  # merged heads, 7x7
+    return 2.0 * mac
 
 
 def _gen_bench(batch: int) -> None:
@@ -72,13 +83,8 @@ def _gen_bench(batch: int) -> None:
         times.append(time.perf_counter() - t0)
 
     fps = batch * T / min(times)
-    flops_chunk = _chunk_flops(renderer, labels)
-    n_chunks = (T + renderer.time_bucket - 1) // renderer.time_bucket
-    mfu = (
-        round(flops_chunk * n_chunks / min(times) / V5E_BF16_PEAK_FLOPS, 4)
-        if flops_chunk == flops_chunk  # not NaN
-        else None
-    )
+    frame_flops = _analytic_frame_flops(H, W)
+    mfu = round(frame_flops * fps / V5E_BF16_PEAK_FLOPS, 4)
     suffix = "" if batch == 1 else f"_b{batch}"
     print(
         json.dumps(
@@ -88,11 +94,7 @@ def _gen_bench(batch: int) -> None:
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "mfu": mfu,
-                "flops_per_frame": (
-                    round(flops_chunk / renderer.time_bucket / batch)
-                    if mfu is not None
-                    else None
-                ),
+                "flops_per_frame": round(frame_flops),
             }
         )
     )
