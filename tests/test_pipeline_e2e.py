@@ -153,3 +153,43 @@ def test_run_audio_batch_sharded(aligner, tmp_path):
     np.testing.assert_array_equal(
         results[0].label_maps, single.label_maps
     )
+
+
+@requires_reference_data
+def test_load_size_renderer_rasterizes_at_target(tmp_path):
+    """With a load_size GAN (reference --loadSize 512 scaleHeight,
+    text2video_audio.sh:42) the pipeline rasterizes scaled tracks at the
+    GAN's working resolution — matching training labels — and the
+    streamed video comes out at that resolution."""
+    import cv2
+
+    from text2video_tpu.config import (
+        PipelineConfig,
+        RenderConfig,
+        get_profile,
+    )
+    from text2video_tpu.frontend import load_timestamp_file
+    from text2video_tpu.pipeline import Text2VideoPipeline
+    from text2video_tpu.render import Renderer
+
+    ts = load_timestamp_file(
+        f"{REFERENCE_DIR}/input_timestamp/fadg0/phones/Dotheymake.txt"
+    )
+    # fadg0 canvas 512x384, load_size 128 -> working res 192x128.
+    renderer = Renderer.create(
+        config=RenderConfig(load_size=128),
+        height=128, width=192, base_ch=4, n_blocks=1,
+    )
+    pipe = Text2VideoPipeline(
+        PipelineConfig(person=get_profile("fadg0"), out_dir=str(tmp_path)),
+        renderer=renderer,
+    )
+    run = pipe.synthesize(
+        ts, "t", audio=np.zeros(16000, np.float32)
+    )
+    mp4 = [f for f in run.files if f.endswith(".mp4")][0]
+    cap = cv2.VideoCapture(mp4)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 192
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 128
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == run.num_frames
+    cap.release()

@@ -278,6 +278,7 @@ def cmd_train_gan(args) -> int:
         d_lr_scale=args.d_lr_scale,
         lambda_adv=args.lambda_adv,
         lr=args.lr,
+        grad_accum=args.grad_accum,
         dtype=jnp.bfloat16,
     )
     state = train_gan(
@@ -499,6 +500,9 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=2e-4,
                    help="Adam learning rate (recon pretrain tolerates "
                    "higher, e.g. 5e-4)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per step (averaged gradients == "
+                   "full batch; cuts peak activation memory)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

@@ -140,6 +140,16 @@ class RenderConfig:
     use_prev_frames: int = 2  # autoregressive context frames
     checkpoint_dir: Optional[str] = None
     dtype: str = "bfloat16"
+    # Wire format for streaming frames off device (render_stream_yuv):
+    # "dct" sends zigzag-truncated quantized 8x8-DCT coefficients (~4x
+    # fewer bytes than "yuv420"; ops/dct.py), "yuv420" sends raw uint8
+    # planes. Slow host links (the tunneled bench host) want "dct";
+    # quality is JPEG-style (wire roundtrip PSNR bounds in
+    # tests/test_wire_codec.py).
+    wire_format: str = "dct"
+    wire_quality: int = 80
+    wire_k_luma: int = 20
+    wire_k_chroma: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,9 +17,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def rgb_norm_to_yuv420(frames: jnp.ndarray):
+def rgb_norm_to_yuv420_float(frames: jnp.ndarray):
     """[..., H, W, 3] float frames in [-1, 1] (H, W even) ->
-    (y [..., H, W], u [..., H/2, W/2], v [..., H/2, W/2]) uint8."""
+    (y [..., H, W], u [..., H/2, W/2], v [..., H/2, W/2]) float32 planes
+    in 0..255 (not yet rounded — feedstock for the uint8 wire format or
+    the DCT wire codec, ops/dct.py)."""
     x = (frames.astype(jnp.float32) + 1.0) * 127.5
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
     y = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) * (1.0 / 256.0)
@@ -31,7 +33,15 @@ def rgb_norm_to_yuv420(frames: jnp.ndarray):
         c = c.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
         return c.mean(axis=(-3, -1))
 
+    return y, _sub(u), _sub(v)
+
+
+def rgb_norm_to_yuv420(frames: jnp.ndarray):
+    """[..., H, W, 3] float frames in [-1, 1] (H, W even) ->
+    (y [..., H, W], u [..., H/2, W/2], v [..., H/2, W/2]) uint8."""
+    y, u, v = rgb_norm_to_yuv420_float(frames)
+
     def _u8(c):
         return jnp.clip(jnp.round(c), 0.0, 255.0).astype(jnp.uint8)
 
-    return _u8(y), _u8(_sub(u)), _u8(_sub(v))
+    return _u8(y), _u8(u), _u8(v)

@@ -60,6 +60,15 @@ class RunResult:
     stage_seconds: Optional[dict] = None      # per-stage wall clock
 
 
+def _scale_tracks(arr, sx: float, sy: float):
+    """Scale the x/y columns of an (x, y, conf)-triple track array of
+    any shape [..., 3k] (host or device array)."""
+    shape = arr.shape
+    flat = arr.reshape(shape[:-1] + (shape[-1] // 3, 3))
+    flat = flat * np.asarray([sx, sy, 1.0], np.float32)
+    return flat.reshape(shape)
+
+
 def _default_mandarin_aligner(person: str = ""):
     """The packaged Mandarin acoustic model (speaker-dependent
     ``mandarin_<person>.am`` when shipped, else the joint model), or None
@@ -153,13 +162,29 @@ class Text2VideoPipeline:
         labels = None
         frames = None
         if self.renderer is not None:
+            # Rasterize directly at the GAN's working resolution: with a
+            # load_size model (reference --loadSize 512 --resize_or_crop
+            # scaleHeight), scaling the keypoint *tracks* and drawing at
+            # target size matches how training labels are made
+            # (train/data.py rasterizes scaled tracks at the training
+            # canvas) — rasterizing at the person's canvas and resizing
+            # the image would thin the skeleton lines, a train/test
+            # label mismatch — and it shrinks the scatter-draw canvas.
+            w_c, h_c = self.profile.canvas
+            h2, w2 = self.renderer.target_hw(h_c, w_c)
+            raster_canvas = (w2, h2)
+            if raster_canvas != tuple(self.profile.canvas):
+                sx, sy = w2 / w_c, h2 / h_c
+                face = _scale_tracks(face, sx, sy)
+                pose = _scale_tracks(pose, sx, sy)
+                hands = _scale_tracks(hands, sx, sy)
             with timer.stage("rasterize"):
                 chunks = rasterize_batch(
                     face,
                     pose,
                     hands[:, 0],
                     hands[:, 1],
-                    self.profile.canvas,
+                    raster_canvas,
                     chunk=self.renderer.time_bucket,
                     to_host=False,
                 )
@@ -167,8 +192,6 @@ class Text2VideoPipeline:
                 # Streaming: frames leave the device as YUV420 chunks and
                 # are muxed incrementally on a worker thread — transfer,
                 # compute, and encode overlap, and link bytes halve.
-                w_c, h_c = self.profile.canvas
-                h2, w2 = self.renderer.target_hw(h_c, w_c)
                 muxer = StreamingMuxer(
                     base, w2, h2, fps=self.profile.fps,
                     sample_rate=sample_rate, audio=audio,
@@ -333,13 +356,25 @@ class Text2VideoPipeline:
             face = pose_res.face_smooth if cfg.smooth else pose_res.face
             pose = pose_res.pose_smooth if cfg.smooth else pose_res.pose
             hands = self.pose_stage.table.hands[pose_res.plan.carrier]
+            raster_canvas = tuple(self.profile.canvas)
+            if on_device:
+                # Rasterize at the GAN's working resolution from scaled
+                # tracks (matches training labels; see synthesize()).
+                w_c, h_c = self.profile.canvas
+                h2, w2 = self.renderer.target_hw(h_c, w_c)
+                if (w2, h2) != raster_canvas:
+                    raster_canvas = (w2, h2)
+                    sx, sy = w2 / w_c, h2 / h_c
+                    face = _scale_tracks(face, sx, sy)
+                    pose = _scale_tracks(pose, sx, sy)
+                    hands = _scale_tracks(hands, sx, sy)
             with timer.stage("rasterize"):
                 # With a renderer, labels stay on device: chunks concat +
                 # pad + stack as device ops, so the batch path adds no
                 # host round trip over the single-utterance path.
                 labels = rasterize_batch(
                     face, pose, hands[:, 0], hands[:, 1],
-                    self.profile.canvas, chunk=cfg.frame_chunk,
+                    raster_canvas, chunk=cfg.frame_chunk,
                     to_host=not on_device,
                 )
                 if on_device:

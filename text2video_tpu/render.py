@@ -133,6 +133,25 @@ class Renderer:
         y, u, v = rgb_norm_to_yuv420(frames)
         return (y, u, v), carry
 
+    def _render_chunk_dct_impl(self, params, labels, carry):
+        """Like the YUV chunk but the planes leave as zigzag-truncated
+        quantized 8x8-DCT coefficients (int8, ops/dct.py) — ~4x fewer
+        wire bytes than YUV420; the host dequantizes + IDCTs in the
+        transfer thread pool."""
+        from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420_float
+        from text2video_tpu.ops.dct import encode_yuv
+
+        cfg = self.config
+        frames, carry = self._scan_chunk(params, labels, carry)
+        y, u, v = rgb_norm_to_yuv420_float(frames)
+        coeffs = encode_yuv(
+            y, u, v,
+            quality=cfg.wire_quality,
+            k_luma=cfg.wire_k_luma,
+            k_chroma=cfg.wire_k_chroma,
+        )
+        return coeffs, carry
+
     def _cached_jit(self, name: str, impl):
         fn = getattr(self, name, None)
         if fn is None:
@@ -148,6 +167,12 @@ class Renderer:
     def _render_chunk_yuv(self):
         return self._cached_jit(
             "_render_chunk_yuv_cache", self._render_chunk_yuv_impl
+        )
+
+    @property
+    def _render_chunk_dct(self):
+        return self._cached_jit(
+            "_render_chunk_dct_cache", self._render_chunk_dct_impl
         )
 
     # ------------------------------------------------------------------
@@ -217,17 +242,37 @@ class Renderer:
 
         All chunk programs are dispatched up front (JAX async dispatch),
         so device compute for chunk i+1.. overlaps the host pull of chunk
-        i, and YUV420 halves the transferred bytes. Pulls run on a small
-        thread pool: a tunneled host link carries ~2x the aggregate
-        bandwidth with 3-4 concurrent transfers (each stream is
-        round-trip-latency-bound), so the wall clock is
-        max(compute, parallel-transfer), not a serial drain. Results
-        still yield in frame order for the muxer.
+        i. The wire format follows ``config.wire_format``: "yuv420"
+        transfers uint8 planes (half of RGB); "dct" (default) transfers
+        zigzag-truncated quantized 8x8-DCT coefficients (~4x fewer bytes
+        again, ops/dct.py) and dequantizes + IDCTs per plane inside the
+        pull threads. Pulls run on a small thread pool: a tunneled host
+        link carries ~2x the aggregate bandwidth with 3-4 concurrent
+        transfers (each stream is round-trip-latency-bound), so the wall
+        clock is max(compute, parallel-transfer), not a serial drain.
+        Results still yield in frame order for the muxer.
         """
         from concurrent.futures import ThreadPoolExecutor
 
         if not label_chunks:
             raise ValueError("no label chunks")
+        use_dct = self.config.wire_format == "dct"
+        if use_dct:
+            from text2video_tpu.ops.dct import decode_plane_np, quant_tables
+
+            lq, cq = quant_tables(self.config.wire_quality)
+            plane_quants = (lq, cq, cq)
+
+            def pull(a, n, qi):
+                return decode_plane_np(
+                    np.asarray(a[0][:n]), plane_quants[qi]
+                )
+        else:
+
+            def pull(a, n, qi):
+                return np.asarray(a[0][:n])
+
+        program = self._render_chunk_dct if use_dct else self._render_chunk_yuv
         h, w = label_chunks[0].shape[1:3]
         carry = self.init_carry(1, *self.target_hw(h, w))
         device_out = []
@@ -236,9 +281,7 @@ class Renderer:
             if done >= min(t, self.config.max_frames):
                 break
             labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
-            (y, u, v), carry = self._render_chunk_yuv(
-                self.params, labels, carry
-            )
+            (y, u, v), carry = program(self.params, labels, carry)
             device_out.append((y, u, v, chunk.shape[0]))
             done += chunk.shape[0]
         remaining = min(t, self.config.max_frames, done)
@@ -252,8 +295,8 @@ class Renderer:
                     break
                 futures.append(
                     tuple(
-                        pool.submit(np.asarray, a[0][:n])
-                        for a in (y, u, v)
+                        pool.submit(pull, a, n, qi)
+                        for qi, a in enumerate((y, u, v))
                     )
                 )
                 rem -= n

@@ -94,6 +94,14 @@ class TrainConfig:
     # against Farneback flow between the sampled real frames (vid2vid's
     # FlowNet-GT role; host data path only).
     flow_supervision: str = "photometric"
+    # Split each step's batch into this many sequential micro-batches
+    # (lax.scan inside the jitted step), averaging G and D gradients
+    # before the single optimizer update. Gradients are mathematically
+    # identical to the full batch (every loss term is a batch mean), but
+    # peak activation memory drops by the accumulation factor, and the
+    # compiled per-micro-batch program uses the small-batch tiling (the
+    # workaround for the 896x512 batch-4 NaN tiling issue, README.md).
+    grad_accum: int = 1
     # Backprop-through-time through the autoregressive feedback. False
     # (default) stops gradients on the generated frames fed back as the
     # next step's conditioning — vid2vid detaches fake_B_prev the same
@@ -368,25 +376,73 @@ def make_train_step(cfg: TrainConfig):
             + L.lsgan_d(f_real, f_fake)
         )
 
-    def step(state: TrainerState, batch) -> Tuple[TrainerState, Dict]:
+    def grads_once(g_params, d_params, vgg_params, batch):
+        """One G+D gradient evaluation on a (micro-)batch."""
         (g_loss, (metrics, fakes)), g_grads = jax.value_and_grad(
             g_objective, has_aux=True
-        )(state.g_params, state.d_params, state.vgg_params, batch)
-        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
-
+        )(g_params, d_params, vgg_params, batch)
         if cfg.lambda_adv > 0.0:
             d_loss, d_grads = jax.value_and_grad(d_objective)(
-                state.d_params, batch, jax.lax.stop_gradient(fakes)
+                d_params, batch, jax.lax.stop_gradient(fakes)
             )
+        else:
+            d_loss = jnp.zeros(())
+            d_grads = jax.tree.map(jnp.zeros_like, d_params)
+        return g_grads, d_grads, dict(metrics, d_loss=d_loss)
+
+    def step(state: TrainerState, batch) -> Tuple[TrainerState, Dict]:
+        accum = max(int(cfg.grad_accum), 1)
+        if accum == 1:
+            g_grads, d_grads, metrics = grads_once(
+                state.g_params, state.d_params, state.vgg_params, batch
+            )
+        else:
+            # Sequential micro-batches inside the jitted step; averaged
+            # gradients match the full batch exactly (all losses are
+            # batch means over equal-size micro-batches).
+            def to_micro(x):
+                b = x.shape[0]
+                if b % accum:
+                    raise ValueError(
+                        f"batch size {b} not divisible by grad_accum "
+                        f"{accum}"
+                    )
+                return x.reshape((accum, b // accum) + x.shape[1:])
+
+            micro = jax.tree.map(to_micro, batch)
+
+            def scan_fn(acc, mb):
+                g_g, d_g, m = grads_once(
+                    state.g_params, state.d_params, state.vgg_params, mb
+                )
+                return jax.tree.map(jnp.add, acc, (g_g, d_g, m)), None
+
+            zeros = jax.tree.map(
+                jnp.zeros_like,
+                jax.eval_shape(
+                    lambda t: grads_once(
+                        state.g_params, state.d_params,
+                        state.vgg_params, t,
+                    ),
+                    jax.tree.map(lambda x: x[0], micro),
+                ),
+            )
+            (g_grads, d_grads, metrics), _ = jax.lax.scan(
+                scan_fn, zeros, micro
+            )
+            g_grads, d_grads, metrics = jax.tree.map(
+                lambda x: x / accum, (g_grads, d_grads, metrics)
+            )
+
+        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+        if cfg.lambda_adv > 0.0:
             d_updates, d_opt = d_opt_tx.update(
                 d_grads, state.d_opt, state.d_params
             )
             d_params = optax.apply_updates(state.d_params, d_updates)
         else:
             # Recon pretrain: Ds stay at init (fresh for the finetune).
-            d_loss = jnp.zeros(())
             d_params, d_opt = state.d_params, state.d_opt
-        metrics = dict(metrics, d_loss=d_loss)
 
         new_state = state.replace(
             step=state.step + 1,
