@@ -101,8 +101,29 @@ def _load_or_train_aligner(args, profile):
     )
 
 
+def _concat_tts_from_pool(args, aligner=None, mandarin=None):
+    """--tts-pool wav 'transcript' ... -> ConcatTTS (real-voice unit
+    selection; frontend/tts_concat.py), or None without a pool."""
+    pool = getattr(args, "tts_pool", None)
+    if not pool:
+        return None
+    if len(pool) % 2 != 0:
+        raise SystemExit("--tts-pool takes wav1 'transcript 1' wav2 ...")
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+    from text2video_tpu.frontend.tts_concat import ConcatTTS
+
+    utts = [
+        (load_wav_for_alignment(pool[i]), pool[i + 1])
+        for i in range(0, len(pool), 2)
+    ]
+    if mandarin is not None:
+        return ConcatTTS.build_mandarin(utts, mandarin)
+    return ConcatTTS.build_english(utts, aligner)
+
+
 def cmd_tts(args) -> int:
     pipe = _build_pipeline(args, need_aligner=True)
+    pipe.tts = _concat_tts_from_pool(args, aligner=pipe.aligner) or pipe.tts
     run = pipe.run_tts(args.text, args.sex)
     print(json.dumps({"name": run.name, "frames": run.num_frames,
                       "files": run.files}))
@@ -157,6 +178,10 @@ def cmd_tts_chinese(args) -> int:
 
         mandarin = MandarinAligner.load(args.aligner_model)
     pipe = _build_pipeline(args, need_aligner=False, mandarin_aligner=mandarin)
+    pipe.tts = (
+        _concat_tts_from_pool(args, mandarin=pipe.mandarin_aligner)
+        or pipe.tts
+    )
     run = pipe.run_tts_chinese(args.text, args.sex)
     print(json.dumps({"name": run.name, "frames": run.num_frames,
                       "files": run.files}))
@@ -377,6 +402,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("tts", help="English text -> TTS audio -> video")
     _add_common(p)
     p.add_argument("sex", nargs="?", default="f", choices=["f", "m"])
+    p.add_argument("--tts-pool", nargs="+", default=None,
+                   metavar="WAV_OR_TEXT",
+                   help="wav1 'transcript 1' ... -> real-voice "
+                   "unit-selection TTS from these recordings "
+                   "(frontend/tts_concat.py)")
     p.set_defaults(fn=cmd_tts)
 
     p = sub.add_parser("audio", help="English text + real audio -> video")
@@ -400,6 +430,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("tts-chinese", help="Mandarin text -> video")
     _add_common(p)
     p.add_argument("sex", nargs="?", default="f", choices=["f", "m"])
+    p.add_argument("--tts-pool", nargs="+", default=None,
+                   metavar="WAV_OR_TEXT",
+                   help="wav1 'transcript 1' ... -> real-voice "
+                   "unit-selection TTS from these recordings "
+                   "(frontend/tts_concat.py)")
     p.set_defaults(fn=cmd_tts_chinese)
 
     p = sub.add_parser("train-aligner", help="train acoustic models")
