@@ -155,3 +155,24 @@ def test_mandarin_syllable_units():
     # fallback) always produces clean audio.
     audio = tts.synthesize("你好", ALIGN_SAMPLE_RATE)
     assert np.isfinite(audio).all() and len(audio) > ALIGN_SAMPLE_RATE // 8
+
+
+@requires_reference_data
+def test_pipeline_run_tts_with_concat_voice(english_pool, tmp_path):
+    """run_tts with the real-voice backend produces a muxed video whose
+    timing comes from aligning the concatenative audio."""
+    from text2video_tpu.config import PipelineConfig, get_profile
+    from text2video_tpu.frontend.tts_concat import ConcatTTS
+    from text2video_tpu.pipeline import Text2VideoPipeline
+
+    aligner, utts = english_pool
+    pipe = Text2VideoPipeline(
+        PipelineConfig(person=get_profile("fadg0"), out_dir=str(tmp_path)),
+        aligner=aligner,
+        tts=ConcatTTS.build_english(utts, aligner),
+    )
+    run = pipe.run_tts("Do they make it")
+    assert run.num_frames > 10
+    assert any(f.endswith(".mp4") for f in run.files)
+    assert any(f.endswith(".avi") or f.endswith("_audio.mp4")
+               for f in run.files)
