@@ -40,6 +40,10 @@ def main() -> None:
     p.add_argument("--keypoints", required=True)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=384)
+    p.add_argument("--source-width", type=int, default=None,
+                   help="resolution the keypoints were annotated at "
+                   "(e.g. 1280x720 for a 896x512 eval)")
+    p.add_argument("--source-height", type=int, default=None)
     p.add_argument("--clips", type=int, default=4)
     p.add_argument("--clip-len", type=int, default=16)
     args = p.parse_args()
@@ -52,6 +56,11 @@ def main() -> None:
         images_dir=args.images,
         keypoints_dir=args.keypoints,
         canvas=(args.width, args.height),
+        source_canvas=(
+            (args.source_width, args.source_height)
+            if args.source_width
+            else None
+        ),
         clip_len=args.clip_len,
         cache_labels=False,
     )
