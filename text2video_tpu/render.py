@@ -124,6 +124,109 @@ class Renderer:
         ).astype(jnp.uint8)
         return frames_u8, carry
 
+    # ---- Jacobi (fixed-point) parallel decoding ----------------------
+
+    def _jacobi_sweep_impl(self, params, labels_ctx, prev_imgs, has_prev):
+        """One batched generator sweep over every frame at once.
+
+        labels_ctx [T, H, W, 3*n_frames_ctx], prev_imgs [T, H, W,
+        3*use_prev_frames], has_prev [T] -> frames [T, H, W, 3] f32.
+        The frame axis rides the generator's batch axis — large batches
+        keep the MXU full, unlike the scan's one-frame steps.
+        """
+        frame, _, _ = self.generator.apply(
+            params, labels_ctx, prev_imgs, has_prev
+        )
+        return frame.astype(jnp.float32)
+
+    @property
+    def _jacobi_sweep(self):
+        fn = getattr(self, "_jacobi_sweep_cache", None)
+        if fn is None:
+            fn = jax.jit(self._jacobi_sweep_impl)
+            object.__setattr__(self, "_jacobi_sweep_cache", fn)
+        return fn
+
+    def render_jacobi(
+        self, labels_u8: np.ndarray, sweeps: int = 3
+    ) -> np.ndarray:
+        """[T, H, W, 3] uint8 labels -> [T, H, W, 3] uint8 frames via
+        Jacobi iteration on the autoregressive chain.
+
+        The sequential scan is the fixed point of
+            frames[t] = G(labels[t-ctx+1..t], frames[t-prev..t-1])
+        Jacobi-iterate it: sweep the WHOLE timeline as one batched
+        forward, feeding each frame the previous iterate's neighbours.
+        Information propagates >=1 frame per sweep (frame 0 is exact on
+        sweep 1 since it has no prev context), so ``sweeps >= T``
+        reproduces the scan exactly in exact arithmetic — in float the
+        batched-vs-scanned reduction-order noise (~1e-6) amplifies
+        through the warp recurrence, so expect close-but-not-bitwise
+        (tests/test_render_jacobi.py). Small sweep counts are the fast
+        mode — the generator sees batch T
+        instead of batch 1, trading k x FLOPs for MXU utilization, and
+        each sweep's frames are independent so the batch axis can also
+        shard over a mesh (the scan's sequential carry never can).
+        """
+        t = min(labels_u8.shape[0], self.config.max_frames)
+        cfg = self.config
+        labels = jnp.asarray(
+            labels_u8[:t].astype(np.float32) / 127.5 - 1.0
+        )
+        h, w = labels.shape[1:3]
+        h2, w2 = self.target_hw(h, w)
+        if (h2, w2) != (h, w):
+            labels = jax.image.resize(
+                labels, (t, h2, w2, 3), method="linear"
+            )
+
+        # Static label context: frame t sees labels[t], t-1, .. (zeros
+        # before the start), exactly the scan's prev_labels carry.
+        ctx = [labels]
+        for k in range(1, cfg.n_frames_ctx):
+            ctx.append(
+                jnp.pad(labels, ((k, 0), (0, 0), (0, 0), (0, 0)))[:t]
+            )
+        labels_ctx = jnp.concatenate(ctx, axis=-1)
+        has_prev = (jnp.arange(t) > 0).astype(jnp.float32)
+
+        # Sweep in fixed-size batch chunks (pad the tail so jit sees one
+        # shape): batch `bucket` frames per generator call bounds peak
+        # activation memory while still feeding the MXU wide.
+        bucket = min(self.time_bucket, t)
+        pad_t = (-t) % bucket
+        if pad_t:
+            zpad = ((0, pad_t), (0, 0), (0, 0), (0, 0))
+            labels_ctx = jnp.pad(
+                labels_ctx, ((0, pad_t),) + zpad[1:]
+            )
+            has_prev = jnp.pad(has_prev, (0, pad_t))
+        tt = t + pad_t
+
+        frames = jnp.zeros((t, h2, w2, 3), jnp.float32)
+        for _ in range(max(int(sweeps), 1)):
+            prev = [
+                jnp.pad(frames, ((k, 0), (0, 0), (0, 0), (0, 0)))[:t]
+                for k in range(1, cfg.use_prev_frames + 1)
+            ]
+            prev_imgs = jnp.concatenate(prev, axis=-1)
+            if pad_t:
+                prev_imgs = jnp.pad(prev_imgs, ((0, pad_t),) + zpad[1:])
+            outs = [
+                self._jacobi_sweep(
+                    self.params,
+                    labels_ctx[lo : lo + bucket],
+                    prev_imgs[lo : lo + bucket],
+                    has_prev[lo : lo + bucket],
+                )
+                for lo in range(0, tt, bucket)
+            ]
+            frames = jnp.concatenate(outs, axis=0)[:t]
+        out = jnp.clip((frames + 1.0) * 127.5, 0.0, 255.0).astype(
+            jnp.uint8
+        )
+        return np.asarray(out)
+
     def _render_chunk_yuv_impl(self, params, labels, carry):
         """Like _render_chunk_impl but returns (y, u, v) uint8 planes —
         half the host-transfer bytes of RGB (ops/colorspace.py)."""
