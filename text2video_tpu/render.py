@@ -227,6 +227,84 @@ class Renderer:
         )
         return np.asarray(out)
 
+    def _jacobi_sharded_impl(self, params, labels, has_prev, sweeps):
+        """All `sweeps` Jacobi iterations as ONE jitted program over a
+        time-sharded [T, H, W, 3] label array.
+
+        The shifted prev-frame / prev-label windows become pad+slice on
+        the sharded axis — XLA partitions them into neighbour
+        `collective-permute`s (a 1-frame halo riding ICI), so a single
+        utterance's timeline spans the mesh: the temporal parallelism the
+        sequential scan structurally cannot have (SURVEY.md §2.5).
+        """
+        cfg = self.config
+        t, h, w = labels.shape[:3]
+        h2, w2 = self.target_hw(h, w)
+        if (h2, w2) != (h, w):
+            labels = jax.image.resize(
+                labels, (t, h2, w2, 3), method="linear"
+            )
+
+        def shift(x, k):
+            return jnp.pad(x, ((k, 0),) + ((0, 0),) * (x.ndim - 1))[:t]
+
+        ctx = [labels]
+        for k in range(1, cfg.n_frames_ctx):
+            ctx.append(shift(labels, k))
+        labels_ctx = jnp.concatenate(ctx, axis=-1)
+
+        def body(_, frames):
+            prev = jnp.concatenate(
+                [shift(frames, k) for k in range(1, cfg.use_prev_frames + 1)],
+                axis=-1,
+            )
+            out, _, _ = self.generator.apply(
+                params, labels_ctx, prev, has_prev
+            )
+            return out.astype(jnp.float32)
+
+        frames = jax.lax.fori_loop(
+            0, sweeps, body, jnp.zeros((t, h2, w2, 3), jnp.float32)
+        )
+        return jnp.clip((frames + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
+
+    def render_jacobi_sharded(
+        self, labels_u8: np.ndarray, mesh, sweeps: int = 3
+    ) -> np.ndarray:
+        """Jacobi decoding with the TIME axis sharded over ``mesh``'s
+        "data" axis: one utterance spans every chip.
+
+        Same fixed-point semantics as :meth:`render_jacobi`; here each
+        sweep's T independent generator forwards split T/n_data per chip
+        and the shifted windows halo-exchange over ICI. Computation
+        follows data — inputs are placed with a ``P("data")`` time
+        sharding and the jitted sweep loop inherits it.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.config
+        t = min(labels_u8.shape[0], cfg.max_frames)
+        n_data = mesh.shape["data"]
+        pad_t = (-t) % n_data
+        labels = labels_u8[:t].astype(np.float32) / 127.5 - 1.0
+        if pad_t:
+            labels = np.pad(
+                labels, ((0, pad_t), (0, 0), (0, 0), (0, 0))
+            )
+        has_prev = (np.arange(t + pad_t) > 0).astype(np.float32)
+
+        shard_t = NamedSharding(mesh, P("data"))
+        labels = jax.device_put(jnp.asarray(labels), shard_t)
+        has_prev = jax.device_put(jnp.asarray(has_prev), shard_t)
+        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+
+        fn = getattr(self, "_jacobi_sharded_cache", None)
+        if fn is None:
+            fn = jax.jit(self._jacobi_sharded_impl, static_argnums=(3,))
+            object.__setattr__(self, "_jacobi_sharded_cache", fn)
+        out = fn(params, labels, has_prev, max(int(sweeps), 1))
+        return np.asarray(out)[:t]
+
     def _render_chunk_yuv_impl(self, params, labels, carry):
         """Like _render_chunk_impl but returns (y, u, v) uint8 planes —
         half the host-transfer bytes of RGB (ops/colorspace.py)."""
