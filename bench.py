@@ -100,6 +100,54 @@ def _gen_bench(batch: int) -> None:
     )
 
 
+def _jacobi_bench(sweeps: int) -> None:
+    """Jacobi parallel decoding throughput: k batched whole-timeline
+    sweeps instead of the sequential scan (render.py::render_jacobi).
+    Trades sweeps x FLOPs for MXU-filling batches; reports output fps
+    plus both useful MFU (delivered frames) and executed MFU (all
+    sweeps)."""
+    import jax.numpy as jnp
+
+    from text2video_tpu.render import Renderer
+
+    renderer = Renderer.create(height=H, width=W)
+    rng = np.random.RandomState(0)
+    labels_u8 = rng.randint(0, 256, size=(T, H, W, 3), dtype=np.uint8)
+    labels = jnp.asarray(labels_u8.astype(np.float32) / 127.5 - 1.0)
+
+    def once() -> None:
+        frames = renderer.jacobi_device(labels, sweeps)
+        _ = float(jnp.sum(jnp.abs(frames[-1, ::64, ::64])))
+
+    once()  # compile + warm
+    times = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        once()
+        times.append(time.perf_counter() - t0)
+
+    fps = T / min(times)
+    frame_flops = _analytic_frame_flops(H, W)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"pose2frame_jacobi{sweeps}_fps_512x384_1chip"
+                ),
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "mfu": round(
+                    frame_flops * fps / V5E_BF16_PEAK_FLOPS, 4
+                ),
+                "mfu_executed": round(
+                    sweeps * frame_flops * fps / V5E_BF16_PEAK_FLOPS, 4
+                ),
+            }
+        )
+    )
+
+
 def _e2e_bench() -> None:
     """Full pipeline on a ~10 s utterance, warm wall clock vs real time."""
     import tempfile
@@ -177,13 +225,16 @@ def _e2e_bench() -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--mode", choices=["gen", "e2e", "batch"], default="gen"
+        "--mode", choices=["gen", "e2e", "batch", "jacobi"], default="gen"
     )
+    parser.add_argument("--sweeps", type=int, default=2)
     args = parser.parse_args()
     if args.mode == "gen":
         _gen_bench(batch=1)
     elif args.mode == "batch":
         _gen_bench(batch=4)
+    elif args.mode == "jacobi":
+        _jacobi_bench(args.sweeps)
     else:
         _e2e_bench()
 

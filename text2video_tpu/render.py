@@ -169,10 +169,20 @@ class Renderer:
         shard over a mesh (the scan's sequential carry never can).
         """
         t = min(labels_u8.shape[0], self.config.max_frames)
-        cfg = self.config
         labels = jnp.asarray(
             labels_u8[:t].astype(np.float32) / 127.5 - 1.0
         )
+        frames = self.jacobi_device(labels, sweeps)
+        out = jnp.clip((frames + 1.0) * 127.5, 0.0, 255.0).astype(
+            jnp.uint8
+        )
+        return np.asarray(out)
+
+    def jacobi_device(self, labels: jax.Array, sweeps: int) -> jax.Array:
+        """Device-side Jacobi sweeps: [T, H, W, 3] normalized labels ->
+        [T, H', W', 3] float32 frames in [-1, 1], no host transfer."""
+        t = labels.shape[0]
+        cfg = self.config
         h, w = labels.shape[1:3]
         h2, w2 = self.target_hw(h, w)
         if (h2, w2) != (h, w):
@@ -222,10 +232,7 @@ class Renderer:
                 for lo in range(0, tt, bucket)
             ]
             frames = jnp.concatenate(outs, axis=0)[:t]
-        out = jnp.clip((frames + 1.0) * 127.5, 0.0, 255.0).astype(
-            jnp.uint8
-        )
-        return np.asarray(out)
+        return frames
 
     def _jacobi_sharded_impl(self, params, labels, has_prev, sweeps):
         """All `sweeps` Jacobi iterations as ONE jitted program over a
