@@ -15,7 +15,13 @@ Other modes (human use):
 
 import argparse
 import json
+import os
 import time
+
+# Single-CPU hosts: unbounded BLAS thread pools oversubscribe and
+# multiply host-side matmul cost ~100x. Must be set before numpy loads.
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import numpy as np
 

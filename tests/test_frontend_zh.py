@@ -74,3 +74,39 @@ def test_energy_segmenter_and_full_path():
     assert [sym for _, sym in ts] == ["ni", "hao"]
     assert all(f >= 0 for f, _ in ts)
     assert list(ts) == sorted(ts, key=lambda e: e[0])
+
+
+def test_timestamp_chinese_aligner_path_digits_one_to_one():
+    """Forced-aligner path: every expanded symbol (digits included) gets
+    exactly its own span midpoint — no symbol is dropped and none
+    inherits a later span's timing. Regression: pinyin_timestamps burns
+    one extra interval to step past an exhausted numeric token
+    (reference quirk, pinyin_timestamping.py:112-133), which is wrong
+    when the aligner provides exactly one span per emitted symbol."""
+    from text2video_tpu.frontend.align_mandarin import (
+        SyllableSpan,
+        expand_walk_stream,
+    )
+
+    text = "我有2024个朋友"
+    stream = expand_walk_stream(text)
+    assert stream == [
+        "wo", "you", "er", "ling", "er", "si", "ge", "peng", "you",
+    ]
+
+    class StubAligner:
+        def align_text(self, samples, txt, sample_rate):
+            syms = expand_walk_stream(txt)
+            return [
+                SyllableSpan(s, float(k), float(k + 1))
+                for k, s in enumerate(syms)
+            ]
+
+    ts = timestamp_chinese(
+        text, np.zeros(16000, np.float32), 16000,
+        aligner=StubAligner(), fps=30.0,
+    )
+    assert [s for _, s in ts] == stream
+    # Midpoint of span [k, k+1) at 30 fps.
+    assert [f for f, _ in ts] == [int((k + 0.5) * 30 + 0.5)
+                                  for k in range(len(stream))]

@@ -262,3 +262,26 @@ def test_train_step_with_reference_flow(dataset):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["g_flow"]))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+@requires_reference_data
+def test_max_frames_cap():
+    """max_frames truncates runs in order while keeping each kept run
+    contiguous and >= clip_len (HBM-budget knob for device-resident
+    training on one chip)."""
+    from text2video_tpu.train.data import PoseClipDataset
+
+    ds = PoseClipDataset(
+        images_dir=IMAGES,
+        keypoints_dir=KEYPOINTS,
+        canvas=(128, 96),
+        source_canvas=(512, 384),
+        clip_len=4,
+        cache_labels=False,
+        max_frames=10,
+    )
+    assert ds.num_frames <= 10
+    assert all(len(c) >= 4 for c in ds.clips)
+    # Sampling still works within the capped run(s).
+    labels, reals, centers = ds.sample_clip(np.random.RandomState(0))
+    assert labels.shape[0] == 4

@@ -129,3 +129,43 @@ def test_render_stream_formats_agree(wire):
         # the worst case for a truncated-DCT codec. Real GAN frames are
         # far smoother (>36 dB, see the plane roundtrip tests above).
         assert _psnr(store["yuv420"], store["dct"]) > 28.0
+
+
+def test_plane_roundtrip_non_multiple_of_8():
+    """Planes whose dims are not multiples of 8 (e.g. the 540x960 chroma
+    of a 1080p canvas) edge-pad on encode; the decoder returns padded
+    dims and the caller crops. Regression: encode_plane used to reshape
+    and crash."""
+    p = _smooth_plane(h=44, w=52)
+    lq, _ = quant_tables(80)
+    co = encode_plane(np.asarray(p)[None], lq, 20)
+    assert co.shape == (1, 6, 7, 20)  # ceil(44/8), ceil(52/8)
+    out = decode_plane_np(np.asarray(co), lq)[0]
+    assert out.shape == (48, 56)
+    assert _psnr(np.round(p), out[:44, :52]) > 36.0
+
+
+def test_render_stream_dct_odd_chroma():
+    """Streaming DCT render at a resolution whose half-planes are not
+    8-multiples (40x48 -> 20x24 chroma, the 1080p-canvas shape class)
+    yields correctly cropped planes."""
+    import jax.numpy as jnp
+
+    from text2video_tpu.config import RenderConfig
+    from text2video_tpu.render import Renderer
+
+    h, w = 40, 48
+    renderer = Renderer.create(
+        config=RenderConfig(wire_format="dct"),
+        height=h, width=w, base_ch=4, n_blocks=1,
+    )
+    renderer.time_bucket = 4
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(
+        rng.randint(0, 256, size=(4, h, w, 3), dtype=np.uint8)
+    )
+    outs = list(renderer.render_stream_yuv([labels], 4))
+    (y, u, v), = outs
+    assert y.shape == (4, h, w)
+    assert u.shape == (4, h // 2, w // 2)
+    assert v.shape == (4, h // 2, w // 2)

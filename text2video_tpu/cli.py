@@ -19,6 +19,12 @@ import json
 import os
 import sys
 
+# Single-CPU hosts: unbounded BLAS thread pools oversubscribe and
+# multiply host-side matmul cost ~100x. Must be set before numpy loads
+# (harmless if numpy is already imported — the pool just stays as-is).
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("text")
@@ -289,6 +295,7 @@ def cmd_train_gan(args) -> int:
         # Augmented device-data training rasterizes labels on device per
         # step; skip the init-time label cache entirely.
         cache_labels=not (augmenting and args.device_data),
+        max_frames=args.max_frames,
     )
     cfg = TrainConfig(
         height=args.height,
@@ -538,6 +545,9 @@ def main(argv=None) -> int:
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per step (averaged gradients == "
                    "full batch; cuts peak activation memory)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="cap total paired frames (device-data datasets "
+                   "must fit HBM)")
     p.set_defaults(fn=cmd_train_gan)
 
     p = sub.add_parser("bench", help="run the benchmark")

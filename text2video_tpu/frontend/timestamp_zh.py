@@ -210,11 +210,24 @@ def timestamp_chinese(
 
     stripped = strip_punct(text, strip_spaces=False, ascii_too=True)
     if aligner is not None:
+        # Each aligned span corresponds 1:1 with an emitted symbol of
+        # the expanded walk stream (digits already one-per-slot), so
+        # emit span midpoints directly. Feeding the spans through
+        # pinyin_timestamps would be wrong for numeric tokens: the
+        # reference walk burns one extra interval to advance past an
+        # exhausted digit token (pinyin_timestamping.py:112-133) but
+        # the aligner produces exactly one span per emitted symbol.
         spans = aligner.align_text(samples, stripped, sample_rate)
-        intervals = [
-            WordInterval(word="", start=s.start, end=s.end) for s in spans
+        out = [
+            (
+                int((s.start + (s.end - s.start) / 2) * fps + 0.5),
+                s.syllable,
+            )
+            for s in spans
         ]
-        return pinyin_timestamps(stripped, intervals, fps=fps)
+        if not out:
+            raise ValueError("no timestamps produced (empty text)")
+        return Timestamps(entries=tuple(out))
     if asr is None:
         asr = EnergySegmenter(n_words=max(len(to_pinyin(stripped)), 1))
     intervals = asr.recognize(samples, sample_rate)

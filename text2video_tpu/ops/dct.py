@@ -10,10 +10,11 @@ JPEG-style tables, and only the first K zigzag coefficients cross the
 link as int8 — ~4x fewer bytes than YUV420 at visually transparent
 quality (roundtrip PSNR bounds in tests/test_wire_codec.py). The host
 side (dequantize + IDCT, two small matmuls over all blocks at once) runs
-in the transfer thread pool, off the critical path.
+between chunk pulls, off the critical path.
 
-Everything device-side is static-shaped dense math (two 8x8 matmul
-contractions over the block axes) — exactly what XLA tiles onto the MXU;
+Everything device-side is static-shaped dense math (one stride-8
+convolution against the quant-scaled DCT basis) — exactly what XLA
+tiles onto the MXU;
 there is no entropy coding because variable-length output would force a
 host round trip, and the fixed-K truncation already captures most of the
 win.
@@ -100,41 +101,88 @@ def quant_tables(quality: int = 80):
     return _scaled(_LUMA_BASE), _scaled(_CHROMA_BASE)
 
 
-def _blockify(p):
-    """[..., H, W] -> [..., H/8, W/8, 8, 8] (H, W multiples of 8)."""
-    *lead, h, w = p.shape
-    p = p.reshape(*lead, h // 8, 8, w // 8, 8)
-    return jnp.moveaxis(p, -3, -2)
+def _encode_kernel(quant: np.ndarray, k: int) -> np.ndarray:
+    """[8, 8, 1, k] conv kernel whose output channel c is the c-th zigzag
+    DCT-II basis function pre-divided by its quantizer step:
+    K[u, v, 0, c] = D[zr(c), u] * D[zc(c), v] / quant[zr(c), zc(c)]."""
+    d = dct_matrix8()
+    zr, zc = ZIGZAG[:k] // 8, ZIGZAG[:k] % 8
+    basis = d[zr][:, :, None] * d[zc][:, None, :]  # [k, 8, 8]
+    scale = quant.astype(np.float32)[zr, zc]  # [k]
+    return np.transpose(
+        basis / scale[:, None, None], (1, 2, 0)
+    )[:, :, None, :].astype(np.float32)
 
 
 def encode_plane(plane, quant, k: int):
-    """Device encode: [..., H, W] float plane (0..255, H/W multiples of
-    8) -> [..., H/8, W/8, k] int8 of zigzag-truncated quantized DCT
-    coefficients."""
-    d = jnp.asarray(dct_matrix8())
-    blocks = _blockify(plane.astype(jnp.float32) - 128.0)
-    coef = jnp.einsum("ij,...jk,lk->...il", d, blocks, d)
-    q = jnp.round(coef / jnp.asarray(quant))
-    flat = q.reshape(q.shape[:-2] + (64,))
-    kept = flat[..., jnp.asarray(ZIGZAG[:k])]
-    return jnp.clip(kept, -127.0, 127.0).astype(jnp.int8)
+    """Device encode: [..., H, W] float plane (0..255) -> [..., ceil(H/8),
+    ceil(W/8), k] int8 of zigzag-truncated quantized DCT coefficients.
+
+    The blockwise 8x8 DCT + quantize + zigzag-truncate collapses into ONE
+    stride-8 convolution with a [8, 8, 1, k] kernel of quant-scaled basis
+    functions: a single MXU-shaped op instead of per-block 8x8
+    contractions (the einsum formulation lowered to thousands of tiny
+    dots and cost ~38 ms/frame on a v5e — ~5x the whole generator).
+
+    Planes whose dims are not multiples of 8 (e.g. the 540x960 chroma of
+    a 1080p canvas) are edge-padded up; the decoder returns the padded
+    size and the caller crops (render.py::render_stream_yuv)."""
+    h, w = plane.shape[-2:]
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        pad = [(0, 0)] * (plane.ndim - 2) + [(0, ph), (0, pw)]
+        plane = jnp.pad(plane, pad, mode="edge")
+        h, w = h + ph, w + pw
+    lead = plane.shape[:-2]
+    x = plane.astype(jnp.float32).reshape((-1, h, w, 1)) - 128.0
+    kern = jnp.asarray(_encode_kernel(np.asarray(quant), k))
+    import jax
+
+    q = jax.lax.conv_general_dilated(
+        x, kern,
+        window_strides=(8, 8),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    q = jnp.round(q).reshape(lead + (h // 8, w // 8, k))
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+_DECODE_KERNELS: dict = {}
+
+
+def _decode_kernel(quant: np.ndarray, k: int) -> np.ndarray:
+    """[k, 64] dequant+IDCT matrix: row c is the c-th zigzag basis block
+    (flattened row-major) scaled by its quantizer step, so decoding is
+    ONE BLAS matmul ``coeffs @ K``. (A 3-operand np.einsum here ran the
+    naive nested-loop path: 25 s per 32-frame plane — 100x the
+    transfer it was supposed to hide.)"""
+    key = (quant.tobytes(), k)
+    kern = _DECODE_KERNELS.get(key)
+    if kern is None:
+        d = dct_matrix8()
+        zr, zc = ZIGZAG[:k] // 8, ZIGZAG[:k] % 8
+        basis = d[zr][:, :, None] * d[zc][:, None, :]  # [k, 8, 8]
+        scale = quant.astype(np.float32)[zr, zc]  # [k]
+        kern = (basis * scale[:, None, None]).reshape(k, 64)
+        _DECODE_KERNELS[key] = kern
+    return kern
 
 
 def decode_plane_np(coeffs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """Host decode: [..., Hb, Wb, k] int8 -> [..., Hb*8, Wb*8] uint8.
 
-    Dequantize + IDCT as two batched 8x8 matmuls (einsum over all blocks
-    at once) — ~10 MFLOP/frame at 512x384, negligible next to the
-    transfer it replaces.
-    """
+    Dequantize + IDCT as a single [N*Hb*Wb, k] @ [k, 64] matmul —
+    ~25 MFLOP/frame at 512x384, negligible next to the transfer it
+    replaces."""
     *lead, hb, wb, k = coeffs.shape
-    flat = np.zeros((*lead, hb, wb, 64), np.float32)
-    flat[..., ZIGZAG[:k]] = coeffs.astype(np.float32)
-    deq = flat.reshape(*lead, hb, wb, 8, 8) * quant.astype(np.float32)
-    d = dct_matrix8()
-    blocks = np.einsum("ji,...jk,kl->...il", d, deq, d)
+    kern = _decode_kernel(np.asarray(quant), k)
+    flat = coeffs.reshape(-1, k).astype(np.float32) @ kern
+    blocks = flat.reshape(*lead, hb, wb, 8, 8)
     pix = np.moveaxis(blocks, -3, -2).reshape(*lead, hb * 8, wb * 8)
-    return np.clip(np.round(pix + 128.0), 0.0, 255.0).astype(np.uint8)
+    # np.rint, not np.round: round's decimals machinery ran ~1000x
+    # slower on this host class for large arrays.
+    return np.clip(np.rint(pix + 128.0), 0.0, 255.0).astype(np.uint8)
 
 
 def encode_yuv(y, u, v, quality: int = 80, k_luma: int = 20,

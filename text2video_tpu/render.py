@@ -423,46 +423,58 @@ class Renderer:
         host = [np.asarray(c[0]) for c in outs]
         return np.concatenate(host, axis=0)[:t]
 
-    def render_stream_yuv(self, label_chunks, t: int, pull_threads: int = 4):
+    def render_stream_yuv(self, label_chunks, t: int):
         """Stream-render on-device uint8 label chunks to per-chunk host
         YUV420 planes: yields (y [n,H,W], u [n,H/2,W/2], v [n,H/2,W/2])
         uint8 numpy arrays, n summing to ``t``.
 
         All chunk programs are dispatched up front (JAX async dispatch),
-        so device compute for chunk i+1.. overlaps the host pull of chunk
-        i. The wire format follows ``config.wire_format``: "yuv420"
-        transfers uint8 planes (half of RGB); "dct" (default) transfers
-        zigzag-truncated quantized 8x8-DCT coefficients (~4x fewer bytes
-        again, ops/dct.py) and dequantizes + IDCTs per plane inside the
-        pull threads. Pulls run on a small thread pool: a tunneled host
-        link carries ~2x the aggregate bandwidth with 3-4 concurrent
-        transfers (each stream is round-trip-latency-bound), so the wall
-        clock is max(compute, parallel-transfer), not a serial drain.
-        Results still yield in frame order for the muxer.
+        then compute is DRAINED with a one-element checksum pull of the
+        last chunk before any bulk transfer starts. The wire format
+        follows ``config.wire_format``: "yuv420" transfers uint8 planes
+        (half of RGB); "dct" (default) transfers zigzag-truncated
+        quantized 8x8-DCT coefficients (~4x fewer bytes again,
+        ops/dct.py) and dequantizes + IDCTs per plane on host after each
+        pull (~50 ms/chunk, negligible). Pulls are SERIAL ``np.asarray``
+        of whole device arrays, with frame-count and plane-dim cropping
+        done on host. Two tunnel pathologies dictate this shape
+        (measured on the axon runtime): (1) eager device-side slicing
+        (``a[0][:n]``) plus concurrent pulls from a thread pool ran at
+        ~0.4 s/frame (86-133 s per utterance) where serial whole-array
+        pulls move the same bytes at link speed (~1 s); (2) a bulk pull
+        issued while later chunk programs are still executing runs ~20x
+        slower than the same pull against an idle device — so overlap
+        loses to drain-then-pull, whose compute and transfer legs are
+        each ~1 s for a 10 s utterance.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
         if not label_chunks:
             raise ValueError("no label chunks")
         use_dct = self.config.wire_format == "dct"
+        h2, w2 = self.target_hw(*label_chunks[0].shape[1:3])
         if use_dct:
             from text2video_tpu.ops.dct import decode_plane_np, quant_tables
 
             lq, cq = quant_tables(self.config.wire_quality)
-            plane_quants = (lq, cq, cq)
+            # (quant table, true plane dims) per plane — the decoder
+            # returns 8-padded dims for non-multiple-of-8 planes (e.g.
+            # 540x960 chroma at 1080p) and we crop back here.
+            plane_spec = (
+                (lq, h2, w2),
+                (cq, h2 // 2, w2 // 2),
+                (cq, h2 // 2, w2 // 2),
+            )
 
             def pull(a, n, qi):
-                return decode_plane_np(
-                    np.asarray(a[0][:n]), plane_quants[qi]
-                )
+                q, th, tw = plane_spec[qi]
+                out = decode_plane_np(np.asarray(a)[0, :n], q)
+                return out[..., :th, :tw]
         else:
 
             def pull(a, n, qi):
-                return np.asarray(a[0][:n])
+                return np.asarray(a)[0, :n]
 
         program = self._render_chunk_dct if use_dct else self._render_chunk_yuv
-        h, w = label_chunks[0].shape[1:3]
-        carry = self.init_carry(1, *self.target_hw(h, w))
+        carry = self.init_carry(1, h2, w2)
         device_out = []
         done = 0
         for chunk in label_chunks:
@@ -472,26 +484,19 @@ class Renderer:
             (y, u, v), carry = program(self.params, labels, carry)
             device_out.append((y, u, v, chunk.shape[0]))
             done += chunk.shape[0]
-        remaining = min(t, self.config.max_frames, done)
-        pool = ThreadPoolExecutor(max_workers=max(pull_threads, 1))
-        try:
-            futures = []
-            rem = remaining
-            for y, u, v, n in device_out:
-                n = min(n, rem)
-                if n <= 0:
-                    break
-                futures.append(
-                    tuple(
-                        pool.submit(pull, a, n, qi)
-                        for qi, a in enumerate((y, u, v))
-                    )
-                )
-                rem -= n
-            for fy, fu, fv in futures:
-                yield fy.result(), fu.result(), fv.result()
-        finally:
-            pool.shutdown(wait=False)
+        # Drain the device: a 1-element pull of the LAST chunk's output
+        # orders after every queued program (programs execute in order).
+        last = device_out[-1][0]
+        _ = np.asarray(last[(slice(0, 1),) * last.ndim])
+        rem = min(t, self.config.max_frames, done)
+        for y, u, v, n in device_out:
+            n = min(n, rem)
+            if n <= 0:
+                break
+            yield tuple(
+                pull(a, n, qi) for qi, a in enumerate((y, u, v))
+            )
+            rem -= n
 
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
         """[B, T, H, W, 3] uint8 -> [B, T, H, W, 3] uint8 frames.

@@ -55,10 +55,15 @@ class PoseClipDataset:
         clip_len: int = 12,
         max_t_step: int = 4,
         cache_labels: bool = True,
+        max_frames: Optional[int] = None,
     ):
         """canvas: training resolution (w, h). source_canvas: resolution
         the keypoints were annotated at (defaults to canvas); keypoint
-        coordinates are scaled canvas/source so low-res training works."""
+        coordinates are scaled canvas/source so low-res training works.
+        max_frames caps the total paired frames used (runs truncated in
+        order, temporal contiguity preserved) — device-resident training
+        on one chip needs the dataset to fit HBM, and e.g. 12.7k
+        896x512 frames are 17.5 GB > a v5e's 16 GB."""
         self.canvas = canvas
         self.source_canvas = source_canvas or canvas
         self.clip_len = clip_len
@@ -98,6 +103,16 @@ class PoseClipDataset:
             for v in runs.values()
             if len(v) >= clip_len
         ]
+        if max_frames is not None:
+            budget = max_frames
+            capped: List[List[_Frame]] = []
+            for clip in self.clips:
+                if budget < clip_len:
+                    break
+                take = min(len(clip), budget)
+                capped.append(clip[:take])
+                budget -= take
+            self.clips = capped
         if not self.clips:
             raise ValueError(
                 f"no clip has >= {clip_len} paired frames"
