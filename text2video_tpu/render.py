@@ -429,23 +429,22 @@ class Renderer:
         uint8 numpy arrays, n summing to ``t``.
 
         All chunk programs are dispatched up front (JAX async dispatch),
-        then compute is DRAINED with a one-element checksum pull of the
-        last chunk before any bulk transfer starts. The wire format
-        follows ``config.wire_format``: "yuv420" transfers uint8 planes
-        (half of RGB); "dct" (default) transfers zigzag-truncated
-        quantized 8x8-DCT coefficients (~4x fewer bytes again,
-        ops/dct.py) and dequantizes + IDCTs per plane on host after each
-        pull (~50 ms/chunk, negligible). Pulls are SERIAL ``np.asarray``
-        of whole device arrays, with frame-count and plane-dim cropping
-        done on host. Two tunnel pathologies dictate this shape
-        (measured on the axon runtime): (1) eager device-side slicing
-        (``a[0][:n]``) plus concurrent pulls from a thread pool ran at
-        ~0.4 s/frame (86-133 s per utterance) where serial whole-array
-        pulls move the same bytes at link speed (~1 s); (2) a bulk pull
-        issued while later chunk programs are still executing runs ~20x
-        slower than the same pull against an idle device — so overlap
-        loses to drain-then-pull, whose compute and transfer legs are
-        each ~1 s for a 10 s utterance.
+        then chunks are pulled PROGRESSIVELY in order with serial
+        ``np.asarray`` of whole device arrays (each pull blocks until
+        its own chunk's program ran; later chunks keep computing during
+        the transfer), with frame-count and plane-dim cropping done on
+        host. The wire format follows ``config.wire_format``: "yuv420"
+        transfers uint8 planes (half of RGB); "dct" (default) transfers
+        zigzag-truncated quantized 8x8-DCT coefficients (~4x fewer
+        bytes again, ops/dct.py) and dequantizes + IDCTs per plane on
+        host after each pull (~50 ms/chunk, negligible). The shape of
+        this loop is dictated by a measured tunnel pathology: eager
+        device-side slicing (``a[0][:n]``) plus concurrent pulls from a
+        thread pool ran at ~0.4 s/frame (86-133 s per utterance), while
+        serial whole-array pulls move the same bytes at link speed and
+        overlap cleanly with the remaining compute (224-frame probe:
+        2.1 s progressive vs 4.1 s drain-then-pull, first chunk on host
+        at 0.5 s so the downstream muxer overlaps too).
         """
         if not label_chunks:
             raise ValueError("no label chunks")
@@ -484,10 +483,6 @@ class Renderer:
             (y, u, v), carry = program(self.params, labels, carry)
             device_out.append((y, u, v, chunk.shape[0]))
             done += chunk.shape[0]
-        # Drain the device: a 1-element pull of the LAST chunk's output
-        # orders after every queued program (programs execute in order).
-        last = device_out[-1][0]
-        _ = np.asarray(last[(slice(0, 1),) * last.ndim])
         rem = min(t, self.config.max_frames, done)
         for y, u, v, n in device_out:
             n = min(n, rem)
