@@ -198,7 +198,7 @@ class Text2VideoPipeline:
                 )
                 with timer.stage("render"):
                     for y, u, v in self.renderer.render_stream_yuv(
-                        chunks, t_frames
+                        chunks, t_frames, timer=timer
                     ):
                         muxer.add_yuv(y, u, v)
                 with timer.stage("mux"):

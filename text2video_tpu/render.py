@@ -313,32 +313,40 @@ class Renderer:
         return np.asarray(out)[:t]
 
     def _render_chunk_yuv_impl(self, params, labels, carry):
-        """Like _render_chunk_impl but returns (y, u, v) uint8 planes —
-        half the host-transfer bytes of RGB (ops/colorspace.py)."""
+        """Like _render_chunk_impl but the frames leave as ONE flat uint8
+        array of packed YUV420 planes — half the host-transfer bytes of
+        RGB (ops/colorspace.py), and one device->host pull per chunk
+        instead of three (each pull pays the tunnel's dispatch RTT)."""
         from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420
 
         frames, carry = self._scan_chunk(params, labels, carry)
         y, u, v = rgb_norm_to_yuv420(frames)
-        return (y, u, v), carry
+        packed = jnp.concatenate(
+            [y.reshape(-1), u.reshape(-1), v.reshape(-1)]
+        )
+        return packed, carry
 
     def _render_chunk_dct_impl(self, params, labels, carry):
-        """Like the YUV chunk but the planes leave as zigzag-truncated
-        quantized 8x8-DCT coefficients (int8, ops/dct.py) — ~4x fewer
-        wire bytes than YUV420; the host dequantizes + IDCTs in the
-        transfer thread pool."""
+        """Like the YUV chunk but the planes leave as ONE flat int8 array
+        of zigzag-truncated quantized 8x8-DCT coefficients (ops/dct.py) —
+        ~4x fewer wire bytes than YUV420; the host dequantizes + IDCTs
+        between pulls."""
         from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420_float
         from text2video_tpu.ops.dct import encode_yuv
 
         cfg = self.config
         frames, carry = self._scan_chunk(params, labels, carry)
         y, u, v = rgb_norm_to_yuv420_float(frames)
-        coeffs = encode_yuv(
+        yq, uq, vq = encode_yuv(
             y, u, v,
             quality=cfg.wire_quality,
             k_luma=cfg.wire_k_luma,
             k_chroma=cfg.wire_k_chroma,
         )
-        return coeffs, carry
+        packed = jnp.concatenate(
+            [yq.reshape(-1), uq.reshape(-1), vq.reshape(-1)]
+        )
+        return packed, carry
 
     def _cached_jit(self, name: str, impl):
         fn = getattr(self, name, None)
@@ -423,54 +431,74 @@ class Renderer:
         host = [np.asarray(c[0]) for c in outs]
         return np.concatenate(host, axis=0)[:t]
 
-    def render_stream_yuv(self, label_chunks, t: int):
+    def _unpack_wire(self, arr: np.ndarray, c: int, n: int, h2: int, w2: int):
+        """Split one pulled wire array back into (y, u, v) uint8 planes.
+
+        arr: the flat packed chunk ([1, c, ...] planes ravelled in y/u/v
+        order); c = frames in the chunk, n <= c frames wanted."""
+        hc, wc = h2 // 2, w2 // 2
+        if self.config.wire_format == "dct":
+            from text2video_tpu.ops.dct import decode_plane_np, quant_tables
+
+            lq, cq = quant_tables(self.config.wire_quality)
+            kl, kc = self.config.wire_k_luma, self.config.wire_k_chroma
+            # encode_plane 8-pads non-multiple-of-8 planes (e.g. the
+            # 540x960 chroma of a 1080p canvas); crop back after decode.
+            hb, wb = -(-h2 // 8), -(-w2 // 8)
+            hbc, wbc = -(-hc // 8), -(-wc // 8)
+            sy, su = c * hb * wb * kl, c * hbc * wbc * kc
+            yq = arr[:sy].reshape(c, hb, wb, kl)[:n]
+            uq = arr[sy : sy + su].reshape(c, hbc, wbc, kc)[:n]
+            vq = arr[sy + su : sy + 2 * su].reshape(c, hbc, wbc, kc)[:n]
+            return (
+                decode_plane_np(yq, lq)[..., :h2, :w2],
+                decode_plane_np(uq, cq)[..., :hc, :wc],
+                decode_plane_np(vq, cq)[..., :hc, :wc],
+            )
+        sy, su = c * h2 * w2, c * hc * wc
+        return (
+            arr[:sy].reshape(c, h2, w2)[:n],
+            arr[sy : sy + su].reshape(c, hc, wc)[:n],
+            arr[sy + su : sy + 2 * su].reshape(c, hc, wc)[:n],
+        )
+
+    def render_stream_yuv(self, label_chunks, t: int, timer=None):
         """Stream-render on-device uint8 label chunks to per-chunk host
         YUV420 planes: yields (y [n,H,W], u [n,H/2,W/2], v [n,H/2,W/2])
         uint8 numpy arrays, n summing to ``t``.
 
-        All chunk programs are dispatched up front (JAX async dispatch),
-        then chunks are pulled PROGRESSIVELY in order with serial
-        ``np.asarray`` of whole device arrays (each pull blocks until
-        its own chunk's program ran; later chunks keep computing during
-        the transfer), with frame-count and plane-dim cropping done on
-        host. The wire format follows ``config.wire_format``: "yuv420"
-        transfers uint8 planes (half of RGB); "dct" (default) transfers
-        zigzag-truncated quantized 8x8-DCT coefficients (~4x fewer
-        bytes again, ops/dct.py) and dequantizes + IDCTs per plane on
-        host after each pull (~50 ms/chunk, negligible). The shape of
-        this loop is dictated by a measured tunnel pathology: eager
+        All chunk programs are dispatched up front (JAX async dispatch)
+        with each chunk's output packed into ONE flat wire array, then
+        chunks are pulled PROGRESSIVELY in order with serial
+        ``np.asarray`` (each pull blocks until its own chunk's program
+        ran; later chunks keep computing during the transfer), and
+        unpacked/cropped on host. Before the pull loop every packed
+        array gets a ``copy_to_host_async()`` — the copy stream is
+        ordered, so chunk i+1's bytes move over the link while the host
+        decodes chunk i instead of leaving the link idle. The wire
+        format follows ``config.wire_format``: "yuv420" transfers uint8
+        planes (half of RGB); "dct" (default) transfers zigzag-truncated
+        quantized 8x8-DCT coefficients (~4x fewer bytes again,
+        ops/dct.py), dequantized + IDCT'd per chunk on host. The shape
+        of this loop is dictated by a measured tunnel pathology: eager
         device-side slicing (``a[0][:n]``) plus concurrent pulls from a
         thread pool ran at ~0.4 s/frame (86-133 s per utterance), while
         serial whole-array pulls move the same bytes at link speed and
         overlap cleanly with the remaining compute (224-frame probe:
         2.1 s progressive vs 4.1 s drain-then-pull, first chunk on host
-        at 0.5 s so the downstream muxer overlaps too).
+        at 0.5 s so the downstream muxer overlaps too). ``timer`` (a
+        StageTimer) optionally records the render_pull / render_decode
+        split.
         """
+        import contextlib
+
         if not label_chunks:
             raise ValueError("no label chunks")
         use_dct = self.config.wire_format == "dct"
         h2, w2 = self.target_hw(*label_chunks[0].shape[1:3])
-        if use_dct:
-            from text2video_tpu.ops.dct import decode_plane_np, quant_tables
 
-            lq, cq = quant_tables(self.config.wire_quality)
-            # (quant table, true plane dims) per plane — the decoder
-            # returns 8-padded dims for non-multiple-of-8 planes (e.g.
-            # 540x960 chroma at 1080p) and we crop back here.
-            plane_spec = (
-                (lq, h2, w2),
-                (cq, h2 // 2, w2 // 2),
-                (cq, h2 // 2, w2 // 2),
-            )
-
-            def pull(a, n, qi):
-                q, th, tw = plane_spec[qi]
-                out = decode_plane_np(np.asarray(a)[0, :n], q)
-                return out[..., :th, :tw]
-        else:
-
-            def pull(a, n, qi):
-                return np.asarray(a)[0, :n]
+        def span(name):
+            return timer.stage(name) if timer else contextlib.nullcontext()
 
         program = self._render_chunk_dct if use_dct else self._render_chunk_yuv
         carry = self.init_carry(1, h2, w2)
@@ -480,17 +508,24 @@ class Renderer:
             if done >= min(t, self.config.max_frames):
                 break
             labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
-            (y, u, v), carry = program(self.params, labels, carry)
-            device_out.append((y, u, v, chunk.shape[0]))
+            packed, carry = program(self.params, labels, carry)
+            device_out.append((packed, chunk.shape[0]))
             done += chunk.shape[0]
+        for packed, _ in device_out:
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass  # backends without async copy fall back to asarray
         rem = min(t, self.config.max_frames, done)
-        for y, u, v, n in device_out:
-            n = min(n, rem)
+        for packed, c in device_out:
+            n = min(c, rem)
             if n <= 0:
                 break
-            yield tuple(
-                pull(a, n, qi) for qi, a in enumerate((y, u, v))
-            )
+            with span("render_pull"):
+                arr = np.asarray(packed)
+            with span("render_decode"):
+                planes = self._unpack_wire(arr, c, n, h2, w2)
+            yield planes
             rem -= n
 
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
