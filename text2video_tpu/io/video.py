@@ -262,6 +262,7 @@ class StreamingMuxer:
         sample_rate: int = 16000,
         audio: Optional[np.ndarray] = None,
         jpeg_quality: int = 95,
+        wire_quality: int = 80,
     ):
         import queue
         import threading
@@ -272,6 +273,7 @@ class StreamingMuxer:
         self.wh = (width, height)
         self.audio = audio
         self.jpeg_quality = jpeg_quality
+        self.wire_quality = wire_quality
         self.has_audio = audio is not None and len(audio) > 0
         self.mp4 = out_base + ".mp4"
         self.writer = cv2.VideoWriter(
@@ -292,19 +294,47 @@ class StreamingMuxer:
             if item is None:
                 return
             try:
-                y, u, v = item
-                for bgr in yuv420_to_bgr(y, u, v):
-                    self.writer.write(bgr)
+                kind, a, b, c = item
+                if kind == "yuv":
+                    for bgr in yuv420_to_bgr(a, b, c):
+                        self.writer.write(bgr)
+                        if self.has_audio:
+                            self.jpegs.append(
+                                _encode_jpeg(bgr, self.jpeg_quality)
+                            )
+                else:  # "dct": raw wire coefficients, native codec
+                    from text2video_tpu.io import wire_native
+
+                    w, h = self.wh
+                    frames = wire_native.decode_bgr(
+                        a, b, c, h, w, quality=self.wire_quality
+                    )
+                    for bgr in frames:
+                        self.writer.write(bgr)
                     if self.has_audio:
-                        self.jpegs.append(
-                            _encode_jpeg(bgr, self.jpeg_quality)
+                        # JPEGs assemble straight from the quantized
+                        # coefficients — entropy coding only, no IDCT
+                        # and no recompression loss.
+                        self.jpegs.extend(
+                            wire_native.to_jpegs(
+                                a, b, c, h, w, quality=self.wire_quality
+                            )
                         )
             except BaseException as e:  # surfaced in close()
                 self._err.append(e)
 
     def add_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
         self.n_frames += y.shape[0]
-        self._q.put((y, u, v))
+        self._q.put(("yuv", y, u, v))
+
+    def add_coeffs(
+        self, yq: np.ndarray, uq: np.ndarray, vq: np.ndarray
+    ) -> None:
+        """Enqueue one chunk of raw truncated-DCT wire coefficients
+        (render.py::render_stream_coeffs output); the worker thread runs
+        the native codec (io/wire_native.py) for both containers."""
+        self.n_frames += yq.shape[0]
+        self._q.put(("dct", yq, uq, vq))
 
     def close(self) -> List[str]:
         self._q.put(None)

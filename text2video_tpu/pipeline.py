@@ -195,12 +195,28 @@ class Text2VideoPipeline:
                 muxer = StreamingMuxer(
                     base, w2, h2, fps=self.profile.fps,
                     sample_rate=sample_rate, audio=audio,
+                    wire_quality=self.renderer.config.wire_quality,
+                )
+                from text2video_tpu.io import wire_native
+
+                use_native = (
+                    self.renderer.config.wire_format == "dct"
+                    and wire_native.available()
                 )
                 with timer.stage("render"):
-                    for y, u, v in self.renderer.render_stream_yuv(
-                        chunks, t_frames, timer=timer
-                    ):
-                        muxer.add_yuv(y, u, v)
+                    if use_native:
+                        # Raw wire coefficients go straight to the
+                        # muxer's native codec — the transfer loop
+                        # never materializes pixel planes.
+                        for coeffs, _ in self.renderer.render_stream_coeffs(
+                            chunks, t_frames, timer=timer
+                        ):
+                            muxer.add_coeffs(*coeffs)
+                    else:
+                        for y, u, v in self.renderer.render_stream_yuv(
+                            chunks, t_frames, timer=timer
+                        ):
+                            muxer.add_yuv(y, u, v)
                 with timer.stage("mux"):
                     files = muxer.close()
                 t_frames = muxer.n_frames

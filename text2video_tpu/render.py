@@ -431,35 +431,46 @@ class Renderer:
         host = [np.asarray(c[0]) for c in outs]
         return np.concatenate(host, axis=0)[:t]
 
-    def _unpack_wire(self, arr: np.ndarray, c: int, n: int, h2: int, w2: int):
-        """Split one pulled wire array back into (y, u, v) uint8 planes.
+    def _split_wire(self, arr: np.ndarray, c: int, n: int, h2: int, w2: int):
+        """Split one pulled wire array back into its three per-plane
+        arrays: DCT coefficients ([n, hb, wb, k] int8 per plane) for the
+        "dct" format, uint8 pixel planes for "yuv420".
 
         arr: the flat packed chunk ([1, c, ...] planes ravelled in y/u/v
         order); c = frames in the chunk, n <= c frames wanted."""
         hc, wc = h2 // 2, w2 // 2
         if self.config.wire_format == "dct":
-            from text2video_tpu.ops.dct import decode_plane_np, quant_tables
-
-            lq, cq = quant_tables(self.config.wire_quality)
             kl, kc = self.config.wire_k_luma, self.config.wire_k_chroma
-            # encode_plane 8-pads non-multiple-of-8 planes (e.g. the
-            # 540x960 chroma of a 1080p canvas); crop back after decode.
             hb, wb = -(-h2 // 8), -(-w2 // 8)
             hbc, wbc = -(-hc // 8), -(-wc // 8)
             sy, su = c * hb * wb * kl, c * hbc * wbc * kc
-            yq = arr[:sy].reshape(c, hb, wb, kl)[:n]
-            uq = arr[sy : sy + su].reshape(c, hbc, wbc, kc)[:n]
-            vq = arr[sy + su : sy + 2 * su].reshape(c, hbc, wbc, kc)[:n]
             return (
-                decode_plane_np(yq, lq)[..., :h2, :w2],
-                decode_plane_np(uq, cq)[..., :hc, :wc],
-                decode_plane_np(vq, cq)[..., :hc, :wc],
+                arr[:sy].reshape(c, hb, wb, kl)[:n],
+                arr[sy : sy + su].reshape(c, hbc, wbc, kc)[:n],
+                arr[sy + su : sy + 2 * su].reshape(c, hbc, wbc, kc)[:n],
             )
         sy, su = c * h2 * w2, c * hc * wc
         return (
             arr[:sy].reshape(c, h2, w2)[:n],
             arr[sy : sy + su].reshape(c, hc, wc)[:n],
             arr[sy + su : sy + 2 * su].reshape(c, hc, wc)[:n],
+        )
+
+    def _unpack_wire(self, arr: np.ndarray, c: int, n: int, h2: int, w2: int):
+        """Split + decode one pulled wire array into (y, u, v) uint8
+        planes (cropped; encode_plane 8-pads non-multiple-of-8 planes,
+        e.g. the 540x960 chroma of a 1080p canvas)."""
+        a, b, d = self._split_wire(arr, c, n, h2, w2)
+        if self.config.wire_format != "dct":
+            return a, b, d
+        from text2video_tpu.ops.dct import decode_plane_np, quant_tables
+
+        lq, cq = quant_tables(self.config.wire_quality)
+        hc, wc = h2 // 2, w2 // 2
+        return (
+            decode_plane_np(a, lq)[..., :h2, :w2],
+            decode_plane_np(b, cq)[..., :hc, :wc],
+            decode_plane_np(d, cq)[..., :hc, :wc],
         )
 
     def render_stream_yuv(self, label_chunks, t: int, timer=None):
@@ -526,6 +537,52 @@ class Renderer:
             with span("render_decode"):
                 planes = self._unpack_wire(arr, c, n, h2, w2)
             yield planes
+            rem -= n
+
+    def render_stream_coeffs(self, label_chunks, t: int, timer=None):
+        """Like :meth:`render_stream_yuv` but yields the RAW split
+        coefficient arrays (yq [n,hb,wb,kl], uq, vq int8) per chunk,
+        undecoded, together with the working dims: ((yq, uq, vq),
+        (h2, w2)). For consumers that hand the wire bytes straight to
+        the native codec (io/wire_native.py: fused coefficient->BGR
+        decode, coefficient->JPEG assembly) — the host never
+        materializes pixel planes on the transfer path. Requires
+        ``config.wire_format == "dct"``.
+        """
+        import contextlib
+
+        if self.config.wire_format != "dct":
+            raise ValueError("render_stream_coeffs requires the dct wire")
+        if not label_chunks:
+            raise ValueError("no label chunks")
+        h2, w2 = self.target_hw(*label_chunks[0].shape[1:3])
+
+        def span(name):
+            return timer.stage(name) if timer else contextlib.nullcontext()
+
+        carry = self.init_carry(1, h2, w2)
+        device_out = []
+        done = 0
+        for chunk in label_chunks:
+            if done >= min(t, self.config.max_frames):
+                break
+            labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
+            packed, carry = self._render_chunk_dct(self.params, labels, carry)
+            device_out.append((packed, chunk.shape[0]))
+            done += chunk.shape[0]
+        for packed, _ in device_out:
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+        rem = min(t, self.config.max_frames, done)
+        for packed, c in device_out:
+            n = min(c, rem)
+            if n <= 0:
+                break
+            with span("render_pull"):
+                arr = np.asarray(packed)
+            yield self._split_wire(arr, c, n, h2, w2), (h2, w2)
             rem -= n
 
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
