@@ -285,3 +285,50 @@ def test_max_frames_cap():
     # Sampling still works within the capped run(s).
     labels, reals, centers = ds.sample_clip(np.random.RandomState(0))
     assert labels.shape[0] == 4
+
+
+def test_stall_watchdog_exits_and_pets():
+    """_StallWatchdog exits the process (code 3) when not petted — run
+    in a subprocess since os._exit would kill pytest — and a petted
+    watchdog stays quiet."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import time
+        from text2video_tpu.train.loop import _StallWatchdog
+        wd = _StallWatchdog(1.0, print)
+        wd._deadline = time.time() + 1.0  # collapse the compile grace
+        time.sleep(60)
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, timeout=55,
+        text=True,
+    )
+    assert r.returncode == _watchdog_exit_code()
+    assert "wedged" in r.stdout
+
+    code_ok = textwrap.dedent(
+        """
+        import time
+        from text2video_tpu.train.loop import _StallWatchdog
+        wd = _StallWatchdog(3600.0, print)
+        wd.pet()
+        wd.stop()
+        print("alive")
+        """
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-c", code_ok], capture_output=True, timeout=120,
+        text=True,
+    )
+    assert r2.returncode == 0 and "alive" in r2.stdout
+
+
+def _watchdog_exit_code():
+    from text2video_tpu.train.loop import _StallWatchdog
+
+    return _StallWatchdog.EXIT_CODE

@@ -322,6 +322,7 @@ def cmd_train_gan(args) -> int:
         n_model=args.n_model,
         device_data=args.device_data,
         sample_every=args.sample_every,
+        stall_timeout=args.stall_timeout,
     )
     print(json.dumps({"steps": int(state.step), "ckpt": args.ckpt}))
     return 0
@@ -545,6 +546,9 @@ def main(argv=None) -> int:
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per step (averaged gradients == "
                    "full batch; cuts peak activation memory)")
+    p.add_argument("--stall-timeout", type=float, default=0.0,
+                   help="exit(3) when no step completes for this many "
+                        "seconds (wedged tunnel); auto-resume on rerun")
     p.add_argument("--max-frames", type=int, default=None,
                    help="cap total paired frames (device-data datasets "
                    "must fit HBM)")

@@ -28,6 +28,56 @@ from text2video_tpu.train.trainer import (
 )
 
 
+class _StallWatchdog:
+    """Kills the process when training stops making progress.
+
+    Tunneled devices occasionally wedge an RPC mid-transfer (the link
+    stalls for good, not just slowly) — the blocking sync inside the
+    step loop then hangs forever and no Python-level timeout can
+    interrupt it. The watchdog thread exits the process (code 3) when
+    no progress is petted within ``timeout`` seconds; combined with the
+    loop's checkpoint auto-resume, an outer retry
+    (``until train-gan ...; do :; done`` keyed on the exit code) turns
+    a wedged link into a bounded delay instead of a lost run.
+    """
+
+    EXIT_CODE = 3
+
+    def __init__(self, timeout: float, log_fn: Callable[[str], None]):
+        import threading
+
+        self.timeout = timeout
+        self.log_fn = log_fn
+        self._lock = threading.Lock()
+        # First deadline is generous: compile + dataset upload happen
+        # before the first pet.
+        self._deadline = time.time() + timeout + 900.0
+        self._stopped = False
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def pet(self) -> None:
+        with self._lock:
+            self._deadline = time.time() + self.timeout
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stopped = True
+
+    def _run(self) -> None:
+        while True:
+            time.sleep(5.0)
+            with self._lock:
+                if self._stopped:
+                    return
+                if time.time() > self._deadline:
+                    self.log_fn(
+                        f"watchdog: no training progress in "
+                        f"{self.timeout:.0f}s — device link presumed "
+                        f"wedged, exiting {self.EXIT_CODE} for resume"
+                    )
+                    os._exit(self.EXIT_CODE)
+
+
 def train_gan(
     dataset: PoseClipDataset,
     cfg: Optional[TrainConfig] = None,
@@ -41,6 +91,7 @@ def train_gan(
     n_model: int = 1,
     device_data: bool = False,
     sample_every: int = 0,
+    stall_timeout: float = 0.0,
     log_fn: Callable[[str], None] = print,
 ) -> TrainerState:
     """Train the pose2frame GAN; returns the final state.
@@ -50,6 +101,10 @@ def train_gan(
     host->device traffic per step shrinks to a [B, T] index array. Use
     when the host<->device link is slow (tunneled devices) or the input
     pipeline can't keep up; the dataset must fit in HBM.
+
+    stall_timeout>0 arms a :class:`_StallWatchdog` that exits the
+    process when no step completes for that many seconds (wedged
+    tunnel); rely on checkpoint auto-resume to continue.
     """
     w, h = dataset.canvas
     cfg = cfg or TrainConfig(height=h, width=w)
@@ -244,6 +299,9 @@ def train_gan(
     t0 = time.time()
     frames_done = 0
     last_saved = -1
+    watchdog = (
+        _StallWatchdog(stall_timeout, log_fn) if stall_timeout > 0 else None
+    )
     for i in range(steps):
         if augment:
             idx = np.stack(
@@ -276,6 +334,8 @@ def train_gan(
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
                 + f" | {frames_done / dt:.1f} frames/s"
             )
+            if watchdog is not None:
+                watchdog.pet()  # the float() above is the sync point
         if sample_fn is not None and (i + 1) % sample_every == 0:
             save_snapshot(int(state.step))
         if ckpt_dir is not None and (i + 1) % save_every == 0:
@@ -283,4 +343,6 @@ def train_gan(
             last_saved = int(state.step)
     if ckpt_dir is not None and int(state.step) != last_saved:
         ckpt.save_state(ckpt_dir, jax.device_get(state), cfg)
+    if watchdog is not None:
+        watchdog.stop()
     return state
