@@ -100,6 +100,19 @@ def _load_or_train_aligner(args, profile):
     )
     if os.path.exists(model_path):
         return EnglishAligner.load(model_path, _dict_path(args), profile.fps)
+    # Packaged speaker-dependent model (same pattern as the Mandarin
+    # lookup, pipeline.py::_default_mandarin_aligner) — the reference
+    # shipped pre-trained P2FA acoustic models the same way
+    # (aligner/english/, hmmdefs stripped from this mirror).
+    data = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data"
+    )
+    for name in (f"english_{profile.name}.am", "english.am"):
+        packaged = os.path.join(data, name)
+        if args.aligner_model is None and os.path.exists(packaged):
+            return EnglishAligner.load(
+                packaged, _dict_path(args), profile.fps
+            )
     raise SystemExit(
         f"no acoustic model at {model_path}; train one first:\n"
         f"  python -m text2video_tpu.cli train-aligner --out {model_path} "
