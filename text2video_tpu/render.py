@@ -501,6 +501,35 @@ class Renderer:
         StageTimer) optionally records the render_pull / render_decode
         split.
         """
+        h2, w2 = self.target_hw(*label_chunks[0].shape[1:3])
+        for arr, c, n in self._stream_packed(label_chunks, t, timer):
+            if timer:
+                with timer.stage("render_decode"):
+                    planes = self._unpack_wire(arr, c, n, h2, w2)
+            else:
+                planes = self._unpack_wire(arr, c, n, h2, w2)
+            yield planes
+
+    def render_stream_coeffs(self, label_chunks, t: int, timer=None):
+        """Like :meth:`render_stream_yuv` but yields the RAW split
+        coefficient arrays (yq [n,hb,wb,kl], uq, vq int8) per chunk,
+        undecoded, together with the working dims: ((yq, uq, vq),
+        (h2, w2)). For consumers that hand the wire bytes straight to
+        the native codec (io/wire_native.py: fused coefficient->BGR
+        decode, coefficient->JPEG assembly) — the host never
+        materializes pixel planes on the transfer path. Requires
+        ``config.wire_format == "dct"``.
+        """
+        if self.config.wire_format != "dct":
+            raise ValueError("render_stream_coeffs requires the dct wire")
+        h2, w2 = self.target_hw(*label_chunks[0].shape[1:3])
+        for arr, c, n in self._stream_packed(label_chunks, t, timer):
+            yield self._split_wire(arr, c, n, h2, w2), (h2, w2)
+
+    def _stream_packed(self, label_chunks, t: int, timer=None):
+        """Shared streaming driver: dispatch every chunk program, start
+        ordered async device->host copies, then pull progressively.
+        Yields (flat wire array, chunk frames, wanted frames)."""
         import contextlib
 
         if not label_chunks:
@@ -534,55 +563,7 @@ class Renderer:
                 break
             with span("render_pull"):
                 arr = np.asarray(packed)
-            with span("render_decode"):
-                planes = self._unpack_wire(arr, c, n, h2, w2)
-            yield planes
-            rem -= n
-
-    def render_stream_coeffs(self, label_chunks, t: int, timer=None):
-        """Like :meth:`render_stream_yuv` but yields the RAW split
-        coefficient arrays (yq [n,hb,wb,kl], uq, vq int8) per chunk,
-        undecoded, together with the working dims: ((yq, uq, vq),
-        (h2, w2)). For consumers that hand the wire bytes straight to
-        the native codec (io/wire_native.py: fused coefficient->BGR
-        decode, coefficient->JPEG assembly) — the host never
-        materializes pixel planes on the transfer path. Requires
-        ``config.wire_format == "dct"``.
-        """
-        import contextlib
-
-        if self.config.wire_format != "dct":
-            raise ValueError("render_stream_coeffs requires the dct wire")
-        if not label_chunks:
-            raise ValueError("no label chunks")
-        h2, w2 = self.target_hw(*label_chunks[0].shape[1:3])
-
-        def span(name):
-            return timer.stage(name) if timer else contextlib.nullcontext()
-
-        carry = self.init_carry(1, h2, w2)
-        device_out = []
-        done = 0
-        for chunk in label_chunks:
-            if done >= min(t, self.config.max_frames):
-                break
-            labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
-            packed, carry = self._render_chunk_dct(self.params, labels, carry)
-            device_out.append((packed, chunk.shape[0]))
-            done += chunk.shape[0]
-        for packed, _ in device_out:
-            try:
-                packed.copy_to_host_async()
-            except Exception:
-                pass
-        rem = min(t, self.config.max_frames, done)
-        for packed, c in device_out:
-            n = min(c, rem)
-            if n <= 0:
-                break
-            with span("render_pull"):
-                arr = np.asarray(packed)
-            yield self._split_wire(arr, c, n, h2, w2), (h2, w2)
+            yield arr, c, n
             rem -= n
 
     def render_many(self, labels_u8: np.ndarray, mesh=None) -> np.ndarray:
