@@ -302,3 +302,42 @@ def test_number_to_words_and_spelling():
     assert transcript_words("I have 2 cats") == [
         "I", "have", "two", "cats",
     ]
+
+
+@requires_reference_data
+def test_packaged_english_model_matches_goldens():
+    """The packaged speaker-dependent acoustic model
+    (text2video_tpu/data/english_fadg0.am — the CLI's no-flag default)
+    reproduces the reference golden timings without retraining."""
+    import os
+
+    from text2video_tpu.frontend.align_english import EnglishAligner
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "text2video_tpu", "data", "english_fadg0.am",
+    )
+    aligner = EnglishAligner.load(
+        pkg, f"{REFERENCE_DIR}/aligner/english/dict", 25.0
+    )
+    wav = load_wav_for_alignment(
+        f"{REFERENCE_DIR}/input_audio/fadg0/Dotheymake.wav"
+    )
+    text = " ".join(
+        p[2]
+        for p in (
+            l.split()
+            for l in open(
+                f"{REFERENCE_DIR}/input_timestamp/fadg0/words/Dotheymake.txt"
+            )
+        )
+        if len(p) == 3 and p[2] != "SIL"
+    )
+    golden = _golden_phones("Dotheymake")
+    ours = [
+        (f, p) for f, p in aligner.align(wav, text).phones if p != "sp"
+    ]
+    assert [p for _, p in golden] == [p for _, p in ours]
+    err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
+    assert np.mean(err) < 2.0, err
