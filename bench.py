@@ -66,12 +66,10 @@ def _analytic_frame_flops(
     return 2.0 * mac
 
 
-def _gen_bench(batch: int) -> None:
+def _measure_gen(renderer, batch: int) -> float:
+    """Warm + timed chunked autoregressive generation; returns fps."""
     import jax.numpy as jnp
 
-    from text2video_tpu.render import Renderer
-
-    renderer = Renderer.create(height=H, width=W)
     rng = np.random.RandomState(0)
     labels_u8 = rng.randint(0, 256, size=(batch, T, H, W, 3), dtype=np.uint8)
     labels = jnp.asarray(labels_u8.astype(np.float32) / 127.5 - 1.0)
@@ -87,23 +85,43 @@ def _gen_bench(batch: int) -> None:
         t0 = time.perf_counter()
         generate_once()
         times.append(time.perf_counter() - t0)
+    return batch * T / min(times)
 
-    fps = batch * T / min(times)
+
+def _gen_bench(batch: int, with_extras: bool = False) -> None:
+    from text2video_tpu.render import Renderer
+
+    renderer = Renderer.create(height=H, width=W)
+    fps = _measure_gen(renderer, batch)
     frame_flops = _analytic_frame_flops(H, W)
-    mfu = round(frame_flops * fps / V5E_BF16_PEAK_FLOPS, 4)
+
+    def mfu(f: float) -> float:
+        return round(frame_flops * f / V5E_BF16_PEAK_FLOPS, 4)
+
     suffix = "" if batch == 1 else f"_b{batch}"
-    print(
-        json.dumps(
-            {
-                "metric": f"pose2frame_generation_fps_512x384_1chip{suffix}",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "mfu": mfu,
-                "flops_per_frame": round(frame_flops),
+    line = {
+        "metric": f"pose2frame_generation_fps_512x384_1chip{suffix}",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "mfu": mfu(fps),
+        "flops_per_frame": round(frame_flops),
+    }
+    if with_extras:
+        # The batch-1 scan is the latency config; batched serving
+        # (run_audio_batch: 4 utterances as one sharded scan) is the
+        # throughput/MFU config. Report both on the one driver-visible
+        # line; a tunnel hiccup in the extra must not kill the primary.
+        try:
+            fps4 = _measure_gen(renderer, 4)
+            line["batch4"] = {
+                "fps": round(fps4, 2),
+                "vs_baseline": round(fps4 / BASELINE_FPS, 3),
+                "mfu": mfu(fps4),
             }
-        )
-    )
+        except Exception as e:  # pragma: no cover - link flakiness
+            line["batch4"] = {"error": str(e)[:120]}
+    print(json.dumps(line))
 
 
 def _jacobi_bench(sweeps: int) -> None:
@@ -154,8 +172,13 @@ def _jacobi_bench(sweeps: int) -> None:
     )
 
 
-def _e2e_bench() -> None:
-    """Full pipeline on a ~10 s utterance, warm wall clock vs real time."""
+def _e2e_bench(square: bool = False) -> None:
+    """Full pipeline on a ~10 s utterance, warm wall clock vs real time.
+
+    square=True measures the BASELINE.md north star exactly: a 512x512
+    canvas (the fadg0 profile's native canvas is 512x384; the square run
+    scales its keypoints onto a 512x512 canvas)."""
+    import dataclasses
     import tempfile
 
     from text2video_tpu.config import PipelineConfig, get_profile
@@ -187,10 +210,15 @@ def _e2e_bench() -> None:
     audio = FormantTTS(pdict=pdict).synthesize(text, 16000)
     dur_s = len(audio) / 16000.0
 
+    h, w = (512, 512) if square else (H, W)
+    profile = get_profile("fadg0")
+    if square:
+        profile = dataclasses.replace(profile, canvas=(w, h))
+
     with tempfile.TemporaryDirectory() as tmp:
         pipe = Text2VideoPipeline(
-            PipelineConfig(person=get_profile("fadg0"), out_dir=tmp),
-            renderer=Renderer.create(height=H, width=W),
+            PipelineConfig(person=profile, out_dir=tmp),
+            renderer=Renderer.create(height=h, width=w),
             aligner=aligner,
         )
         res = aligner.align(audio, text)
@@ -214,7 +242,8 @@ def _e2e_bench() -> None:
     print(
         json.dumps(
             {
-                "metric": "e2e_text2video_realtime_factor_512x384_1chip",
+                "metric": "e2e_text2video_realtime_factor_"
+                f"{w}x{h}_1chip",
                 "value": round(clip_s / wall, 3),
                 "unit": "x realtime (audio %.1fs, video %.1fs, wall %.2fs)"
                 % (dur_s, clip_s, wall),
@@ -234,15 +263,20 @@ def main() -> None:
         "--mode", choices=["gen", "e2e", "batch", "jacobi"], default="gen"
     )
     parser.add_argument("--sweeps", type=int, default=2)
+    parser.add_argument(
+        "--load-size", type=int, default=None,
+        help="e2e mode: square canvas at this size (512 = BASELINE.md "
+        "north-star shape exactly)",
+    )
     args = parser.parse_args()
     if args.mode == "gen":
-        _gen_bench(batch=1)
+        _gen_bench(batch=1, with_extras=True)
     elif args.mode == "batch":
         _gen_bench(batch=4)
     elif args.mode == "jacobi":
         _jacobi_bench(args.sweeps)
     else:
-        _e2e_bench()
+        _e2e_bench(square=args.load_size == 512)
 
 
 if __name__ == "__main__":

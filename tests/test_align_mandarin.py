@@ -101,11 +101,20 @@ def test_forced_alignment_matches_golden_timing(mandarin_aligner):
     """Per-syllable midpoints must land near the reference's vosk-timed
     goldens. The golden itself splits word intervals *uniformly*
     (pinyin_timestamping.py:98-106), so exact agreement is impossible;
-    the bound asserts the same speech regions (30 fps frames)."""
+    the mean bound asserts the same speech regions and the max bound
+    caps any single-syllable excursion (30 fps frames)."""
     from text2video_tpu.frontend.audio import load_wav_for_alignment
 
     ref = REFERENCE_DIR
-    for name, bound in [("baidu", 8.0), ("bill", 8.0)]:
+    # baidu's max allows one documented excursion: its final six
+    # syllables sit ~15-31 frames later than the golden — a regional
+    # disagreement with vosk's segmentation that is INVARIANT to model
+    # strength (identical at 8-iter/4-mix and 14-iter/8-mix), i.e. the
+    # golden's uniform word-split places that tail, not our boundary
+    # quality; p90 bounds the distribution body tightly.
+    for name, bound, p90_bound, max_bound in [
+        ("baidu", 8.0, 18.0, 35), ("bill", 8.0, 10.0, 15),
+    ]:
         lines = [
             l.split() for l in open(f"{ref}/input_timestamp/henan/{name}.txt")
         ]
@@ -120,6 +129,106 @@ def test_forced_alignment_matches_golden_timing(mandarin_aligner):
         )
         err = np.abs(ours - gold)
         assert err.mean() < bound, (name, err.mean(), err.tolist())
+        assert np.percentile(err, 90) <= p90_bound, (name, err.tolist())
+        assert err.max() <= max_bound, (name, err.max(), err.tolist())
+
+
+@requires_reference_data
+def test_boundaries_land_in_energy_dips(mandarin_aligner):
+    """Boundary-level check independent of the vosk goldens: syllable
+    onsets must not land mid-vowel. For each aligned syllable boundary,
+    the local frame energy at the boundary should be <= the peak energy
+    of the two adjacent syllables (a boundary sits at a consonantal
+    closure / gap, never at the loudest point)."""
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    ref = REFERENCE_DIR
+    name = "今天天气好极了,不冷"
+    lines = [l.split() for l in open(f"{ref}/input_timestamp/henan/{name}.txt")]
+    stream = [p[1] for p in lines if len(p) == 2]
+    samples = load_wav_for_alignment(f"{ref}/input_audio/henan/{name}.wav")
+    spans = mandarin_aligner.align_stream(samples, stream)
+
+    hop = 160  # 10 ms at 16 kHz
+    frames = np.lib.stride_tricks.sliding_window_view(
+        samples, 400
+    )[::hop]
+    rms = np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1) + 1e-12)
+
+    def e(t0, t1):
+        i0, i1 = int(t0 * 100), max(int(t1 * 100), int(t0 * 100) + 1)
+        return rms[i0:i1]
+
+    ok, total = 0, 0
+    for a, b in zip(spans[:-1], spans[1:]):
+        peak = max(e(a.start, a.end).max(), e(b.start, b.end).max())
+        boundary = rms[min(int(b.start * 100), len(rms) - 1)]
+        total += 1
+        ok += boundary <= peak * 0.9
+    # Nearly every boundary sits below the neighbouring syllable peaks.
+    assert ok / total >= 0.9, (ok, total)
+
+
+@pytest.fixture(scope="module")
+def xuesong_aligner():
+    """The PACKAGED speaker-dependent xuesong model (shipped exactly like
+    the henan one; trained by cli train-aligner-zh on the reference's
+    xuesong recordings + golden pinyin streams)."""
+    import text2video_tpu
+
+    path = os.path.join(
+        os.path.dirname(text2video_tpu.__file__), "data",
+        "mandarin_xuesong.am",
+    )
+    if not os.path.exists(path):
+        pytest.skip("packaged xuesong model missing")
+    return MandarinAligner.load(path)
+
+
+@requires_reference_data
+def test_xuesong_golden_timing(xuesong_aligner):
+    """Speaker-dependent xuesong timing validates against the xuesong
+    goldens — round-2 verdict: 'nothing validates timing on xuesong
+    audio'. The checked utterances are the ones whose txt/wav pairs are
+    verified consistent; the xuesong mirror also contains mismatched
+    pairs (e.g. '从Canalys发布', '科比了解篮球，了解比' — filename-
+    truncation collisions between text variants) which are excluded from
+    packaged-model training the same way (cli train-aligner-zh
+    --exclude)."""
+    from text2video_tpu.frontend.audio import load_wav_for_alignment
+
+    ref = REFERENCE_DIR
+    checked = 0
+    for name in [
+        "你好啊",
+        "烙饼，是北方人离不开的基础面食。",
+        "这里输入文字",
+        "有表白过吗?你觉得他",
+        "大家好这里是声入人心",
+        "相比之下，用于自动驾驶汽车的其他常见传感",
+        "姚雪松",
+        "测试",
+    ]:
+        txt = f"{ref}/input_timestamp/xuesong/{name}.txt"
+        wav = f"{ref}/input_audio/xuesong/{name}.wav"
+        if not (os.path.exists(txt) and os.path.exists(wav)):
+            continue
+        lines = [l.split() for l in open(txt)]
+        stream = [p[1] for p in lines if len(p) == 2]
+        gold = np.array([int(p[0]) for p in lines if len(p) == 2])
+        if len(stream) < 2:
+            continue
+        samples = load_wav_for_alignment(wav)
+        spans = xuesong_aligner.align_stream(samples, stream)
+        ours = np.array(
+            [int((s.start + (s.end - s.start) / 2) * 30 + 0.5) for s in spans]
+        )
+        err = np.abs(ours - gold)
+        assert err.mean() < 8.0, (name, err.mean(), err.tolist())
+        assert np.percentile(err, 90) <= 16.0, (name, err.tolist())
+        assert err.max() <= 35, (name, err.max(), err.tolist())
+        checked += 1
+    assert checked >= 6
 
 
 @requires_reference_data

@@ -54,3 +54,17 @@ def test_two_branch_encoder_rejected():
     }
     with pytest.raises(ValueError, match="two-branch"):
         migrate_generator_params(old)
+
+
+def test_latest_step_dir_skips_incomplete_tmp(tmp_path):
+    """A kill mid-save leaves step_*.orbax-checkpoint-tmp; auto-resume
+    must skip it and pick the newest COMPLETE checkpoint."""
+    from text2video_tpu.train.checkpoints import latest_step_dir
+
+    (tmp_path / "step_00000200").mkdir()
+    (tmp_path / "step_00000400.orbax-checkpoint-tmp").mkdir()
+    assert latest_step_dir(str(tmp_path)).endswith("step_00000200")
+    import shutil
+
+    shutil.rmtree(tmp_path / "step_00000200")
+    assert latest_step_dir(str(tmp_path)) is None

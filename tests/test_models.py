@@ -111,3 +111,26 @@ def test_vgg_features():
     feats = model.apply({"params": params}, x)
     assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4]
     assert [f.shape[-1] for f in feats] == [64, 128, 256, 512, 512]
+
+
+def test_flow_loss_chunked_matches_unchunked(monkeypatch):
+    """Chunked photometric flow loss (the 2^31-byte warp-gather hazard
+    workaround, models/losses.py::_WARP_CHUNK_BYTES) is the same math as
+    the single-gather path, value and gradient."""
+    import jax
+
+    from text2video_tpu.models import losses as L
+
+    rng = np.random.RandomState(0)
+    n, h, w, c = 6, 8, 10, 3
+    flow = jnp.asarray(rng.randn(n, h, w, 2).astype(np.float32))
+    prev = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32) * 2 - 1)
+    cur = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32) * 2 - 1)
+
+    whole_v, whole_g = jax.value_and_grad(L.flow_loss)(flow, prev, cur)
+    # Force chunking: each group's operand "exceeds" a tiny budget.
+    monkeypatch.setattr(L, "_WARP_CHUNK_BYTES", h * w * 4 * c * 4 * 2)
+    assert L._warp_chunks(n, h, w, c) == 2
+    chunk_v, chunk_g = jax.value_and_grad(L.flow_loss)(flow, prev, cur)
+    np.testing.assert_allclose(whole_v, chunk_v, rtol=1e-6)
+    np.testing.assert_allclose(whole_g, chunk_g, rtol=1e-5, atol=1e-7)

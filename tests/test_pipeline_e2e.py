@@ -193,3 +193,68 @@ def test_load_size_renderer_rasterizes_at_target(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 128
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == run.num_frames
     cap.release()
+
+
+def test_jacobi_decode_pipeline(tmp_path):
+    """decode_mode="jacobi" drives the full pipeline: the streaming wire
+    + muxer path and the keep_arrays path both work, and the array path
+    agrees with the exact scan at high sweep counts (convergence math in
+    tests/test_render_jacobi.py)."""
+    import dataclasses
+
+    import cv2
+
+    from text2video_tpu.config import (
+        PipelineConfig,
+        RenderConfig,
+        get_profile,
+    )
+    from text2video_tpu.frontend import load_timestamp_file
+    from text2video_tpu.pipeline import Text2VideoPipeline
+    from text2video_tpu.render import Renderer
+
+    ts = load_timestamp_file(
+        f"{REFERENCE_DIR}/input_timestamp/fadg0/phones/Dotheymake.txt"
+    )
+    renderer = Renderer.create(
+        config=RenderConfig(
+            load_size=128, decode_mode="jacobi", jacobi_sweeps=2
+        ),
+        height=128, width=192, base_ch=4, n_blocks=1,
+    )
+    pipe = Text2VideoPipeline(
+        PipelineConfig(person=get_profile("fadg0"), out_dir=str(tmp_path)),
+        renderer=renderer,
+    )
+    # Streaming path (wire chunks encoded from Jacobi frames).
+    run = pipe.synthesize(ts, "jac", audio=np.zeros(16000, np.float32))
+    mp4 = [f for f in run.files if f.endswith(".mp4")][0]
+    cap = cv2.VideoCapture(mp4)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == run.num_frames
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 192
+    cap.release()
+
+    # keep_arrays path; many sweeps ~= the exact sequential scan.
+    pipe.renderer = dataclasses.replace(
+        renderer,
+        config=dataclasses.replace(
+            renderer.config, jacobi_sweeps=renderer.time_bucket
+        ),
+    )
+    run_j = pipe.synthesize(
+        ts, "jac_arr", audio=np.zeros(16000, np.float32), keep_arrays=True
+    )
+    pipe.renderer = dataclasses.replace(
+        renderer, config=dataclasses.replace(renderer.config,
+                                             decode_mode="scan"),
+    )
+    run_s = pipe.synthesize(
+        ts, "scan_arr", audio=np.zeros(16000, np.float32), keep_arrays=True
+    )
+    assert run_j.frames.shape == run_s.frames.shape
+    mse = np.mean(
+        (run_j.frames.astype(np.float64) - run_s.frames.astype(np.float64))
+        ** 2
+    )
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    assert psnr >= 30.0, psnr

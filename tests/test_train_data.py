@@ -332,3 +332,52 @@ def _watchdog_exit_code():
     from text2video_tpu.train.loop import _StallWatchdog
 
     return _StallWatchdog.EXIT_CODE
+
+
+@requires_reference_data
+def test_holdout_split_deterministic_and_disjoint():
+    """train/holdout partition: deterministic, frame-disjoint, and the
+    union covers the full dataset (the honest-eval contract VERDICT r2
+    item 3 asked for)."""
+    from text2video_tpu.train.data import PoseClipDataset
+
+    kw = dict(
+        images_dir=IMAGES,
+        keypoints_dir=KEYPOINTS,
+        canvas=(128, 96),
+        source_canvas=(512, 384),
+        clip_len=4,
+        cache_labels=False,
+    )
+    full = PoseClipDataset(split="all", **kw)
+    train = PoseClipDataset(split="train", **kw)
+    hold = PoseClipDataset(split="holdout", **kw)
+    train2 = PoseClipDataset(split="train", **kw)
+
+    def stems(ds):
+        return {f.stem for clip in ds.clips for f in clip}
+
+    assert stems(train) == stems(train2)  # deterministic
+    assert not (stems(train) & stems(hold))  # disjoint
+    assert stems(train) | stems(hold) == stems(full)  # covering
+    # Holdout reserves roughly the requested fraction (whole clips).
+    assert 0.05 * full.num_frames <= hold.num_frames
+    # fadg0 is multi-clip: held-out frames share no source clip with
+    # training frames.
+    train_clips = {s.rsplit("_", 1)[0] for s in stems(train)}
+    hold_clips = {s.rsplit("_", 1)[0] for s in stems(hold)}
+    assert not (train_clips & hold_clips)
+
+
+def test_split_runs_single_run():
+    """A single contiguous recording splits at its tail."""
+    from text2video_tpu.train.data import _split_runs
+
+    run = [object() for _ in range(100)]
+    train, hold = _split_runs([run], clip_len=8, fraction=0.1)
+    assert train[0] == run[:90] and hold[0] == run[90:]
+    # Fraction below clip_len still reserves a renderable holdout.
+    train, hold = _split_runs([run], clip_len=20, fraction=0.05)
+    assert len(hold[0]) == 20
+    with pytest.raises(ValueError):
+        _split_runs([run[:30]], clip_len=20, fraction=0.1)

@@ -52,6 +52,21 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--no-smooth", action="store_true")
     p.add_argument(
+        "--decode",
+        choices=["scan", "jacobi"],
+        default="scan",
+        help="GAN decoding: 'scan' = exact sequential autoregression; "
+        "'jacobi' = --sweeps batched whole-timeline sweeps (MXU-filling "
+        "parallel decoding, approximate — tools/jacobi_quality.py "
+        "measures PSNR vs scan)",
+    )
+    p.add_argument(
+        "--sweeps",
+        type=int,
+        default=3,
+        help="Jacobi sweep count (more = closer to the exact scan)",
+    )
+    p.add_argument(
         "--emit-intermediates",
         action="store_true",
         help="write pose JSONs / label JPEGs / timestamp files like the "
@@ -77,7 +92,12 @@ def _build_pipeline(args, need_aligner: bool, mandarin_aligner=None):
     if args.gan_checkpoint:
         from text2video_tpu.train.checkpoints import load_renderer
 
-        renderer = load_renderer(args.gan_checkpoint, profile)
+        renderer = load_renderer(
+            args.gan_checkpoint,
+            profile,
+            decode_mode=getattr(args, "decode", "scan"),
+            jacobi_sweeps=getattr(args, "sweeps", 3),
+        )
     return Text2VideoPipeline(
         config,
         renderer=renderer,
@@ -262,10 +282,11 @@ def cmd_train_aligner_zh(args) -> int:
         else:
             stream = expand_walk_stream(text)
         utts.append((samples, stream))
+    excluded = set(args.exclude or [])
     for corpus in args.corpus or []:
         audio_dir, ts_dir = corpus.split(":", 1)
         for fn in sorted(os.listdir(ts_dir)):
-            if not fn.endswith(".txt"):
+            if not fn.endswith(".txt") or fn[:-4] in excluded:
                 continue
             wav = os.path.join(audio_dir, fn[:-4] + ".wav")
             if not os.path.exists(wav):
@@ -309,12 +330,23 @@ def cmd_train_gan(args) -> int:
         # step; skip the init-time label cache entirely.
         cache_labels=not (augmenting and args.device_data),
         max_frames=args.max_frames,
+        split=args.split,
+        holdout_fraction=args.holdout_fraction,
     )
+    # VGG policy (measured ablation, README): real weights -> perceptual
+    # term on; otherwise off unless --random-vgg explicitly opts into the
+    # random-filter prior (costs ~1.7 dB of early PSNR).
+    vgg_params = None
+    use_vgg = bool(args.vgg_weights) or args.random_vgg
+    if args.vgg_weights:
+        from text2video_tpu.models.vgg import load_params
+
+        vgg_params = {"params": load_params(args.vgg_weights)}
     cfg = TrainConfig(
         height=args.height,
         width=args.width,
         base_ch=args.base_ch,
-        use_vgg=not args.no_vgg,
+        use_vgg=use_vgg,
         lambda_l1=args.l1,
         aug_jitter_px=args.aug_jitter,
         aug_drop_prob=args.aug_drop,
@@ -336,6 +368,7 @@ def cmd_train_gan(args) -> int:
         device_data=args.device_data,
         sample_every=args.sample_every,
         stall_timeout=args.stall_timeout,
+        vgg_params=vgg_params,
     )
     print(json.dumps({"steps": int(state.step), "ckpt": args.ckpt}))
     return 0
@@ -479,6 +512,12 @@ def main(argv=None) -> int:
         help="AUDIO_DIR:TIMESTAMP_DIR pair in the reference layout",
     )
     p.add_argument(
+        "--exclude",
+        action="append",
+        help="corpus stem to drop (stale/mismatched txt-wav pairs "
+        "poison flat-start training)",
+    )
+    p.add_argument(
         "pairs", nargs="*",
         help="wav1 '<hanzi or pinyin stream 1>' wav2 ...",
     )
@@ -528,9 +567,25 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--base-ch", type=int, default=64)
     p.add_argument("--n-model", type=int, default=1)
-    p.add_argument("--no-vgg", action="store_true")
-    p.add_argument("--l1", type=float, default=0.0,
-                   help="extra L1(fake, real) weight (0 = vid2vid-faithful)")
+    p.add_argument("--vgg-weights", default=None,
+                   help="VGG19 .npz (models/vgg.load_params); supplying "
+                   "real weights turns the perceptual term on")
+    p.add_argument("--random-vgg", action="store_true",
+                   help="run the VGG term with fixed-seed random filters "
+                   "(measured to cost ~1.7 dB early PSNR; README "
+                   "ablation). Off by default")
+    p.add_argument("--no-vgg", action="store_true",
+                   help=argparse.SUPPRESS)  # legacy: VGG is off by default
+    p.add_argument("--l1", type=float, default=10.0,
+                   help="L1(fake, real) weight; the measured-best offline "
+                   "recipe (README ablation). 0 = vid2vid-faithful "
+                   "(use with --vgg-weights)")
+    p.add_argument("--split", choices=["train", "all"], default="train",
+                   help="'train' (default) reserves a deterministic "
+                   "held-out tail for honest evaluation "
+                   "(tools/eval_gan.py --split holdout); 'all' trains "
+                   "on every frame")
+    p.add_argument("--holdout-fraction", type=float, default=0.1)
     p.add_argument("--sample-every", type=int, default=0,
                    help="write a [real|fake|label] snapshot strip every N steps")
     p.add_argument("--device-data", action="store_true",

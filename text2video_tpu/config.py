@@ -140,6 +140,16 @@ class RenderConfig:
     use_prev_frames: int = 2  # autoregressive context frames
     checkpoint_dir: Optional[str] = None
     dtype: str = "bfloat16"
+    # Decoding strategy for the autoregressive chain (render.py):
+    # "scan" runs the exact sequential lax.scan; "jacobi" runs
+    # ``jacobi_sweeps`` batched whole-timeline sweeps instead — the
+    # frame axis rides the generator's batch axis (MXU-filling, and
+    # shardable over a mesh), trading sweeps x FLOPs and an
+    # approximation (frames converge to the scan's fixed point as
+    # sweeps grow) for throughput. Quality at small k on trained
+    # weights: tools/jacobi_quality.py.
+    decode_mode: str = "scan"
+    jacobi_sweeps: int = 3
     # Wire format for streaming frames off device (render_stream_yuv):
     # "dct" sends zigzag-truncated quantized 8x8-DCT coefficients (~4x
     # fewer bytes than "yuv420"; ops/dct.py), "yuv420" sends raw uint8

@@ -28,6 +28,7 @@ mixture splitting) from any (wav, transcript) recordings.
 from __future__ import annotations
 
 import dataclasses
+import os
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -301,6 +302,45 @@ ARPABET_BASE = [
 ]
 
 
+def load_word_spans(
+    words_path: str,
+    phones_path: Optional[str] = None,
+    fps: float = 25.0,
+) -> List[Tuple[float, float, object]]:
+    """Reference words/phones timestamp files -> train_acoustic_model
+    word_spans supervision.
+
+    words file: "<start_s> <end_s> <word_or_SIL>" rows
+    (align_english.py:163-169 emits these). When the matching phones
+    file ("<frame> <PHONE>" at ``fps``) exists, each word's phone
+    sequence is carved out by midpoint-in-span, pinning the
+    pronunciation variant the reference chose."""
+    wrows = [
+        tuple(l.split()) for l in open(words_path) if len(l.split()) == 3
+    ]
+    prows: List[Tuple[int, str]] = []
+    if phones_path is not None and os.path.exists(phones_path):
+        prows = [
+            (int(a), b)
+            for a, b in (l.split() for l in open(phones_path))
+            if b != "sp"
+        ]
+    out: List[Tuple[float, float, object]] = []
+    for s, e, w in wrows:
+        s, e = float(s), float(e)
+        if w == "SIL":
+            # Short inter-word pauses are the *sp* model's training data
+            # (the reference's MLF puts sp between words and emits it in
+            # the phones output when occupied; long silences are sil).
+            # Without this, sp never sees supervised frames and Viterbi
+            # learns to skip pauses the reference keeps.
+            out.append((s, e, ("sp",) if (e - s) < 0.2 else "SIL"))
+            continue
+        phs = [p for f, p in prows if s <= f / fps < e]
+        out.append((s, e, tuple(phs) if phs else w))
+    return out
+
+
 def train_acoustic_model(
     utterances: Sequence[Tuple[np.ndarray, str]],
     pdict: PronouncingDict,
@@ -309,6 +349,8 @@ def train_acoustic_model(
     target_mixes: int = 4,
     save_path: Optional[str] = None,
     feat_kind: int = native.FEAT_MFCC,
+    word_spans: Optional[Sequence
+                         [Optional[Sequence[Tuple[float, float, str]]]]] = None,
 ) -> native.AcousticModel:
     """Flat-start Viterbi training of stress-free monophone models.
 
@@ -316,34 +358,76 @@ def train_acoustic_model(
     reference's dependency on pre-trained P2FA models (stripped from its
     mirror) — any per-person dictionary recording can bootstrap a usable
     aligner.
+
+    word_spans (optional, parallel to utterances): per-utterance
+    ``[(start_s, end_s, word_or_SIL), ...]`` segmentation — e.g. the
+    reference's ``input_timestamp/{person}/words/*.txt`` files. A
+    supervised utterance accumulates per word SEGMENT (features cut at
+    the given boundaries, Viterbi within each word), so the trained
+    models adopt the supervision's word-boundary convention — the
+    classic bootstrap-from-labeled-segmentation recipe (the reference's
+    corpus-trained P2FA models are stripped from its mirror; their
+    word-level outputs ARE shipped, and this recovers their
+    segmentation convention from them). Within-word phone boundaries
+    stay model-derived. Entries of None train unsupervised.
     """
     model = native.AcousticModel.create(
         ["sil", "sp"] + ARPABET_BASE, feat_kind=feat_kind
     )
     trainer = native.Trainer(model)
 
-    prepped = []
-    for samples, text in utterances:
+    def word_ids(w: str) -> List[int]:
+        return [model.phone_id(strip_stress(ph)) for ph in pdict.lookup(w)]
+
+    prepped = []  # list of [(feats, ids, skip), ...] segments
+    for i, (samples, text) in enumerate(utterances):
         feats = native.extract_features(samples, sample_rate, feat_kind)
-        words = transcript_words(text)
-        ids: List[int] = [model.phone_id("sil")]
-        skip: List[bool] = [False]
-        for i, w in enumerate(words):
-            for ph in pdict.lookup(w):
-                ids.append(model.phone_id(strip_stress(ph)))
-                skip.append(False)
-            if i + 1 < len(words):
-                ids.append(model.phone_id("sp"))
-                skip.append(True)
-        ids.append(model.phone_id("sil"))
-        skip.append(False)
-        prepped.append((feats, ids, skip))
+        spans = word_spans[i] if word_spans is not None else None
+        if spans:
+            segs = []
+            for start, end, w in spans:
+                lo = max(int(round(start * 100.0)), 0)  # 10 ms frames
+                hi = min(int(round(end * 100.0)), feats.shape[0])
+                n = hi - lo
+                if n < 3:  # a 3-state HMM needs >= 3 frames
+                    continue
+                if isinstance(w, (list, tuple)):
+                    # Explicit phone sequence (e.g. carved from the
+                    # reference's phones/*.txt by word span) — pins the
+                    # pronunciation VARIANT the supervision used, which
+                    # dictionary-first lookup cannot.
+                    ids = [model.phone_id(strip_stress(p)) for p in w]
+                    if len(ids) > n:
+                        continue
+                elif w == "SIL":
+                    ids = [model.phone_id("sil")]
+                else:
+                    ids = word_ids(w)
+                    if len(ids) > n:
+                        continue  # span too short for the pron
+                segs.append((feats[lo:hi], ids, [False] * len(ids)))
+            prepped.append(segs)
+        else:
+            ids: List[int] = [model.phone_id("sil")]
+            skip: List[bool] = [False]
+            words = transcript_words(text)
+            for j, w in enumerate(words):
+                wi = word_ids(w)
+                ids.extend(wi)
+                skip.extend([False] * len(wi))
+                if j + 1 < len(words):
+                    ids.append(model.phone_id("sp"))
+                    skip.append(True)
+            ids.append(model.phone_id("sil"))
+            skip.append(False)
+            prepped.append([(feats, ids, skip)])
         trainer.accumulate_global(feats)
     trainer.finalize_flat_start()
 
     for it in range(iterations):
-        for feats, ids, skip in prepped:
-            trainer.accumulate(feats, ids, skip, uniform=(it == 0))
+        for segs in prepped:
+            for feats, ids, skip in segs:
+                trainer.accumulate(feats, ids, skip, uniform=(it == 0))
         trainer.update()
         # Split mixtures halfway through once single-Gaussian models settle.
         if it == iterations // 2 and target_mixes > 1:

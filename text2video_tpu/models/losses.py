@@ -67,6 +67,28 @@ def perceptual(
     return loss
 
 
+# Keep any single warp-gather operand under this many bytes. The
+# 896x512 batch-4 clip-8 train step flattens the photometric warp to 28
+# f32 frames whose 4x-stacked gather operand is 28*512*896*12*4 B =
+# 2.46 GiB — just past the 2^31-byte line, where the step's losses turn
+# NaN on the TPU backend while every under-the-line shape is finite
+# (tools/nan_probe.py bisect; the same gather is finite in a small
+# isolated program, so this is a big-program lowering hazard, not a
+# simple op bug). Chunking the loss over the frame axis keeps every
+# operand well under the line with identical math.
+_WARP_CHUNK_BYTES = 1 << 30
+
+
+def _warp_chunks(n: int, h: int, w: int, c: int) -> int:
+    """Largest divisor of ``n`` whose stacked gather operand stays under
+    _WARP_CHUNK_BYTES (f32 compute, 4x channel stack)."""
+    frame_bytes = h * w * 4 * c * 4
+    chunk = max(int(_WARP_CHUNK_BYTES // max(frame_bytes, 1)), 1)
+    while n % chunk:
+        chunk -= 1
+    return chunk
+
+
 def flow_loss(
     flow: jax.Array,
     real_prev: jax.Array,
@@ -74,9 +96,36 @@ def flow_loss(
     tv_weight: float = 0.01,
 ) -> jax.Array:
     """Supervise flow by warping the previous *real* frame onto the
-    current real frame (self-supervised photometric loss) + smoothness."""
-    warped = flow_warp(real_prev.astype(jnp.float32), flow)
-    photo = jnp.mean(jnp.abs(warped - real_cur.astype(jnp.float32)))
+    current real frame (self-supervised photometric loss) + smoothness.
+
+    The warp runs in frame chunks (lax.map) when the batch is large
+    enough that one gather would cross the 2^31-byte hazard line (see
+    _WARP_CHUNK_BYTES)."""
+    n, h, w, c = real_prev.shape
+    prev_f = real_prev.astype(jnp.float32)
+    cur_f = real_cur.astype(jnp.float32)
+    chunk = _warp_chunks(n, h, w, c)
+    if chunk >= n:
+        warped = flow_warp(prev_f, flow)
+        photo = jnp.mean(jnp.abs(warped - cur_f))
+    else:
+        groups = n // chunk
+
+        def _group_abs_sum(args):
+            fl, rp, rc = args
+            return jnp.sum(jnp.abs(flow_warp(rp, fl) - rc))
+
+        sums = jax.lax.map(
+            _group_abs_sum,
+            (
+                flow.astype(jnp.float32).reshape(
+                    (groups, chunk, h, w, 2)
+                ),
+                prev_f.reshape((groups, chunk, h, w, c)),
+                cur_f.reshape((groups, chunk, h, w, c)),
+            ),
+        )
+        photo = jnp.sum(sums) / (n * h * w * c)
     return photo + tv_weight * flow_tv(flow)
 
 

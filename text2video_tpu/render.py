@@ -414,6 +414,17 @@ class Renderer:
         """
         if not label_chunks:
             raise ValueError("no label chunks")
+        if self.config.decode_mode == "jacobi":
+            want = min(t, self.config.max_frames)
+            labels = (
+                jnp.concatenate(list(label_chunks), axis=0)[:want]
+                .astype(jnp.float32) / 127.5 - 1.0
+            )
+            frames = self.jacobi_device(labels, self.config.jacobi_sweeps)
+            out = jnp.clip((frames + 1.0) * 127.5, 0.0, 255.0).astype(
+                jnp.uint8
+            )
+            return np.asarray(out)
         h, w = label_chunks[0].shape[1:3]
         carry = self.init_carry(1, *self.target_hw(h, w))
         outs = []
@@ -526,10 +537,51 @@ class Renderer:
         for arr, c, n in self._stream_packed(label_chunks, t, timer):
             yield self._split_wire(arr, c, n, h2, w2), (h2, w2)
 
+    def _encode_wire_impl(self, frames):
+        """[C, H, W, 3] f32 frames in [-1,1] -> one flat packed wire
+        array (dct coefficients or yuv420 planes, per config) — the
+        encode half of _render_chunk_{dct,yuv}_impl for decode paths
+        that produce frames outside the scan (Jacobi)."""
+        if self.config.wire_format == "dct":
+            from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420_float
+            from text2video_tpu.ops.dct import encode_yuv
+
+            cfg = self.config
+            y, u, v = rgb_norm_to_yuv420_float(frames[None])
+            yq, uq, vq = encode_yuv(
+                y, u, v,
+                quality=cfg.wire_quality,
+                k_luma=cfg.wire_k_luma,
+                k_chroma=cfg.wire_k_chroma,
+            )
+            return jnp.concatenate(
+                [yq.reshape(-1), uq.reshape(-1), vq.reshape(-1)]
+            )
+        from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420
+
+        y, u, v = rgb_norm_to_yuv420(frames[None])
+        return jnp.concatenate(
+            [y.reshape(-1), u.reshape(-1), v.reshape(-1)]
+        )
+
+    @property
+    def _encode_wire(self):
+        fn = getattr(self, "_encode_wire_cache", None)
+        if fn is None:
+            fn = jax.jit(self._encode_wire_impl)
+            object.__setattr__(self, "_encode_wire_cache", fn)
+        return fn
+
     def _stream_packed(self, label_chunks, t: int, timer=None):
         """Shared streaming driver: dispatch every chunk program, start
         ordered async device->host copies, then pull progressively.
-        Yields (flat wire array, chunk frames, wanted frames)."""
+        Yields (flat wire array, chunk frames, wanted frames).
+
+        decode_mode "scan" threads the autoregressive carry chunk to
+        chunk; "jacobi" decodes the whole timeline with
+        config.jacobi_sweeps batched sweeps first (render_jacobi
+        docstring), then encodes the same wire chunks — the transfer
+        path downstream is identical."""
         import contextlib
 
         if not label_chunks:
@@ -540,17 +592,39 @@ class Renderer:
         def span(name):
             return timer.stage(name) if timer else contextlib.nullcontext()
 
-        program = self._render_chunk_dct if use_dct else self._render_chunk_yuv
-        carry = self.init_carry(1, h2, w2)
         device_out = []
         done = 0
-        for chunk in label_chunks:
-            if done >= min(t, self.config.max_frames):
-                break
-            labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
-            packed, carry = program(self.params, labels, carry)
-            device_out.append((packed, chunk.shape[0]))
-            done += chunk.shape[0]
+        if self.config.decode_mode == "jacobi":
+            want = min(t, self.config.max_frames)
+            labels = (
+                jnp.concatenate(list(label_chunks), axis=0)[:want]
+                .astype(jnp.float32) / 127.5 - 1.0
+            )
+            frames = self.jacobi_device(
+                labels, self.config.jacobi_sweeps
+            )  # [want, h2, w2, 3] f32
+            bucket = label_chunks[0].shape[0]
+            for lo in range(0, want, bucket):
+                chunk = frames[lo : lo + bucket]
+                pad = bucket - chunk.shape[0]
+                if pad:
+                    chunk = jnp.pad(
+                        chunk, ((0, pad), (0, 0), (0, 0), (0, 0))
+                    )
+                device_out.append((self._encode_wire(chunk), bucket))
+            done = want
+        else:
+            program = (
+                self._render_chunk_dct if use_dct else self._render_chunk_yuv
+            )
+            carry = self.init_carry(1, h2, w2)
+            for chunk in label_chunks:
+                if done >= min(t, self.config.max_frames):
+                    break
+                labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0
+                packed, carry = program(self.params, labels, carry)
+                device_out.append((packed, chunk.shape[0]))
+                done += chunk.shape[0]
         for packed, _ in device_out:
             try:
                 packed.copy_to_host_async()

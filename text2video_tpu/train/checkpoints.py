@@ -63,12 +63,17 @@ def load_config(ckpt_dir: str) -> Optional[dict]:
 
 
 def latest_step_dir(ckpt_dir: str) -> Optional[str]:
-    # Orbax requires absolute restore paths.
+    # Orbax requires absolute restore paths. Incomplete saves (a crash
+    # or kill mid-save leaves "step_*.orbax-checkpoint-tmp") are never
+    # resume candidates — auto-resume must fall back to the newest
+    # COMPLETE checkpoint.
     ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
     steps = sorted(
-        d for d in os.listdir(ckpt_dir) if d.startswith("step_")
+        d
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and "tmp" not in d
     )
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
@@ -183,9 +188,18 @@ def restore_generator_params(ckpt_dir: str) -> Any:
     return migrate_generator_params(tree["g_params"])
 
 
-def load_renderer(ckpt_dir: str, profile: PersonProfile):
+def load_renderer(
+    ckpt_dir: str,
+    profile: PersonProfile,
+    decode_mode: str = "scan",
+    jacobi_sweeps: int = 3,
+):
     """Build an inference Renderer from a training checkpoint (generator
-    hyperparameters come from the checkpoint's config.json)."""
+    hyperparameters come from the checkpoint's config.json).
+
+    decode_mode/jacobi_sweeps select the decoding strategy
+    (config.RenderConfig: exact sequential scan vs batched Jacobi
+    fixed-point sweeps)."""
     import jax.numpy as jnp
 
     from text2video_tpu.models.generator import CompositeGenerator
@@ -205,5 +219,9 @@ def load_renderer(ckpt_dir: str, profile: PersonProfile):
     return Renderer(
         generator=gen,
         params=restore_generator_params(ckpt_dir),
-        config=RenderConfig(load_size=load_size),
+        config=RenderConfig(
+            load_size=load_size,
+            decode_mode=decode_mode,
+            jacobi_sweeps=jacobi_sweeps,
+        ),
     )

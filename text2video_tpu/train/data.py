@@ -43,6 +43,31 @@ class _Frame:
     keypoint_path: str
 
 
+def _split_runs(clips, clip_len: int, fraction: float):
+    """Deterministic (train, holdout) partition of contiguous runs.
+
+    Multi-run datasets hold out whole runs from the end of the run order
+    (never splitting a run, so held-out frames share no clip with
+    training); a single-run dataset reserves its final ``fraction`` tail
+    (>= clip_len frames so the holdout is renderable)."""
+    total = sum(len(c) for c in clips)
+    target = max(int(round(total * fraction)), clip_len)
+    if len(clips) > 1:
+        held, k = 0, len(clips)
+        while k > 1 and held < target:
+            k -= 1
+            held += len(clips[k])
+        return clips[:k], clips[k:]
+    run = clips[0]
+    n_train = len(run) - target
+    if n_train < clip_len:
+        raise ValueError(
+            f"run of {len(run)} frames too short to hold out {target} "
+            f"and keep a >= {clip_len}-frame training span"
+        )
+    return [run[:n_train]], [run[n_train:]]
+
+
 class PoseClipDataset:
     """Clip sampler over paired (keypoint JSON, real frame) files."""
 
@@ -56,6 +81,8 @@ class PoseClipDataset:
         max_t_step: int = 4,
         cache_labels: bool = True,
         max_frames: Optional[int] = None,
+        split: str = "all",
+        holdout_fraction: float = 0.1,
     ):
         """canvas: training resolution (w, h). source_canvas: resolution
         the keypoints were annotated at (defaults to canvas); keypoint
@@ -63,7 +90,18 @@ class PoseClipDataset:
         max_frames caps the total paired frames used (runs truncated in
         order, temporal contiguity preserved) — device-resident training
         on one chip needs the dataset to fit HBM, and e.g. 12.7k
-        896x512 frames are 17.5 GB > a v5e's 16 GB."""
+        896x512 frames are 17.5 GB > a v5e's 16 GB.
+
+        split selects a deterministic train/holdout partition for honest
+        evaluation (the reference has none — its only metric is a user
+        study, SURVEY.md §6): "train" drops the held-out frames, "holdout"
+        keeps only them, "all" disables the split. With several source
+        clips, whole clips are held out from the end of the sorted-name
+        order until >= holdout_fraction of total frames are reserved;
+        with a single contiguous recording (the Chinese flat layout) the
+        final holdout_fraction tail of the run is reserved. Both trainers
+        and evaluators constructing the dataset with the same arguments
+        see the same partition."""
         self.canvas = canvas
         self.source_canvas = source_canvas or canvas
         self.clip_len = clip_len
@@ -103,6 +141,18 @@ class PoseClipDataset:
             for v in runs.values()
             if len(v) >= clip_len
         ]
+        if split not in ("all", "train", "holdout"):
+            raise ValueError(f"unknown split {split!r}")
+        if split != "all" and self.clips:
+            train_clips, holdout_clips = _split_runs(
+                self.clips, clip_len, holdout_fraction
+            )
+            self.clips = train_clips if split == "train" else holdout_clips
+            if not self.clips:
+                raise ValueError(
+                    f"{split!r} split is empty (holdout_fraction="
+                    f"{holdout_fraction}, clip_len={clip_len})"
+                )
         if max_frames is not None:
             budget = max_frames
             capped: List[List[_Frame]] = []

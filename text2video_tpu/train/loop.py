@@ -92,6 +92,7 @@ def train_gan(
     device_data: bool = False,
     sample_every: int = 0,
     stall_timeout: float = 0.0,
+    vgg_params=None,
     log_fn: Callable[[str], None] = print,
 ) -> TrainerState:
     """Train the pose2frame GAN; returns the final state.
@@ -115,7 +116,7 @@ def train_gan(
             d for d in range(1, avail + 1) if batch_size % d == 0
         )
     mesh = make_mesh(n_data=n_data, n_model=n_model)
-    state = create_trainer_state(cfg, seed=seed)
+    state = create_trainer_state(cfg, seed=seed, vgg_params=vgg_params)
     if ckpt_dir is not None and ckpt.latest_step_dir(ckpt_dir):
         state = ckpt.restore_state(ckpt_dir, state)
         log_fn(f"resumed from step {int(state.step)}")

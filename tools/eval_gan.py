@@ -2,14 +2,21 @@
 """Objective GAN evaluation: PSNR/SSIM of generated vs ground-truth frames.
 
 The reference's only quality evidence is a user study (SURVEY.md §6).
-This tool gives a reproducible proxy: render clips from their pose labels
-with the trained generator and compare to the real frames.
+This tool gives a reproducible proxy: render clips from pose labels with
+the trained generator and compare to the real frames.
+
+Honesty defaults: ``--split holdout`` evaluates on the deterministic
+held-out partition (train/data.py::_split_runs — the same split
+``cli train-gan --split train`` reserves), so the reported numbers are
+for frames the model never saw; SSIM is the standard 11x11 Gaussian
+*windowed* SSIM (Wang et al. 2004), not a single global-moment formula
+(global moments inflate scores by ignoring local structure).
 
 Usage:
-  python tools/eval_gan.py --ckpt checkpoints/fadg0_512 \
+  python tools/eval_gan.py --ckpt checkpoints/fadg0 \
       --images ".../images_fadg0" --keypoints ".../keypoints_fadg0" \
-      [--clips 4] [--clip-len 16]
-Prints one JSON line {"psnr_db", "ssim", "clips", "frames"}.
+      [--split holdout|train|all] [--clips 4] [--clip-len 16]
+Prints one JSON line {"psnr_db", "ssim", "split", "clips", "frames"}.
 """
 
 import argparse
@@ -21,16 +28,24 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def _ssim(a: np.ndarray, b: np.ndarray) -> float:
+def windowed_ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean local SSIM over 11x11 Gaussian windows (sigma 1.5), averaged
+    over channels — the standard formulation. a, b: [H, W, C] uint8."""
+    import cv2
+
     a = a.astype(np.float64)
     b = b.astype(np.float64)
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
     c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
-    return ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
-        (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+    blur = lambda x: cv2.GaussianBlur(x, (11, 11), 1.5)
+    mu_a, mu_b = blur(a), blur(b)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    var_a = blur(a * a) - mu_aa
+    var_b = blur(b * b) - mu_bb
+    cov = blur(a * b) - mu_ab
+    ssim_map = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
+        (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
     )
+    return float(ssim_map.mean())
 
 
 def main() -> None:
@@ -44,6 +59,9 @@ def main() -> None:
                    help="resolution the keypoints were annotated at "
                    "(e.g. 1280x720 for a 896x512 eval)")
     p.add_argument("--source-height", type=int, default=None)
+    p.add_argument("--split", choices=["holdout", "train", "all"],
+                   default="holdout")
+    p.add_argument("--holdout-fraction", type=float, default=0.1)
     p.add_argument("--clips", type=int, default=4)
     p.add_argument("--clip-len", type=int, default=16)
     args = p.parse_args()
@@ -63,6 +81,8 @@ def main() -> None:
         ),
         clip_len=args.clip_len,
         cache_labels=False,
+        split=args.split,
+        holdout_fraction=args.holdout_fraction,
     )
     profile = PersonProfile(
         name="eval", language="en", canvas=(args.width, args.height),
@@ -82,7 +102,7 @@ def main() -> None:
                 ** 2
             )
             psnrs.append(10 * np.log10(255.0**2 / max(mse, 1e-9)))
-            ssims.append(_ssim(fakes[t], reals[t]))
+            ssims.append(windowed_ssim(fakes[t], reals[t]))
             n_frames += 1
 
     print(
@@ -90,6 +110,7 @@ def main() -> None:
             {
                 "psnr_db": round(float(np.mean(psnrs)), 2),
                 "ssim": round(float(np.mean(ssims)), 4),
+                "split": args.split,
                 "clips": args.clips,
                 "frames": n_frames,
             }
