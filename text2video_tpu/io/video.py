@@ -3,15 +3,23 @@
 Replaces the reference's L7 muxer (reference:
 *phoneme_data/VidTIMIT/fadg0/image2video_real.py — cv2.VideoWriter MP4V at
 fps=25, then moviepy/ffmpeg re-mux with audio). This environment has no
-ffmpeg binary, so audio muxing is self-contained:
+ffmpeg binary, so both containers are written from scratch:
 
-  * :func:`write_video` — cv2 VideoWriter (mp4, video-only), byte-parity
-    with the reference's first stage.
+  * :func:`write_video` — MJPEG samples in an ISO-BMFF MP4 (io/mp4.py),
+    the reference's first muxing stage. JPEG is encoded once per frame;
+    the container stage is pure bookkeeping (the earlier cv2 ``mp4v``
+    writer paid a full pixel re-encode per frame, which profiling showed
+    was ~half the post-generation wall clock on this 1-core host).
   * :func:`write_avi_with_audio` — a from-scratch RIFF/AVI muxer
     interleaving MJPEG frames (cv2 JPEG encode) with 16-bit PCM audio.
     Plays in ffmpeg/VLC/browsers; no external tools.
   * :func:`mux` — writes mp4+wav and, when audio is given, the AVI; uses
-    the ffmpeg binary instead when one is on PATH.
+    the ffmpeg binary for an ``_audio.mp4`` when one is on PATH.
+
+The streamed-DCT path (:class:`StreamingMuxer`.add_coeffs) never touches
+pixels at all: the native codec entropy-codes the wire coefficients into
+JPEG bytes (io/wire_native.py) and both containers stream-copy those
+bytes — no IDCT, no re-encode, no quality loss beyond the wire quant.
 """
 
 from __future__ import annotations
@@ -25,21 +33,22 @@ import cv2
 import numpy as np
 
 from text2video_tpu.frontend.audio import save_wav
+from text2video_tpu.io.mp4 import Mp4Writer
 
 
 def write_video(
-    frames: np.ndarray, path: str, fps: float = 25.0
+    frames: np.ndarray, path: str, fps: float = 25.0,
+    jpeg_quality: int = 95,
 ) -> None:
-    """frames: [T, H, W, 3] uint8 RGB -> .mp4 (no audio)."""
+    """frames: [T, H, W, 3] uint8 RGB -> .mp4 (MJPEG samples, no audio)."""
     t, h, w, _ = frames.shape
-    writer = cv2.VideoWriter(
-        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
-    )
-    if not writer.isOpened():
-        raise RuntimeError(f"cannot open VideoWriter for {path}")
-    for i in range(t):
-        writer.write(cv2.cvtColor(frames[i], cv2.COLOR_RGB2BGR))
-    writer.release()
+    with Mp4Writer(path, w, h, fps) as writer:
+        for i in range(t):
+            writer.add_jpeg(
+                _encode_jpeg(
+                    cv2.cvtColor(frames[i], cv2.COLOR_RGB2BGR), jpeg_quality
+                )
+            )
 
 
 def _chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -276,11 +285,7 @@ class StreamingMuxer:
         self.wire_quality = wire_quality
         self.has_audio = audio is not None and len(audio) > 0
         self.mp4 = out_base + ".mp4"
-        self.writer = cv2.VideoWriter(
-            self.mp4, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
-        )
-        if not self.writer.isOpened():
-            raise RuntimeError(f"cannot open VideoWriter for {self.mp4}")
+        self.writer = Mp4Writer(self.mp4, width, height, fps)
         self.jpegs: List[bytes] = []  # for the AVI fallback container
         self.n_frames = 0
         self._q: "queue.Queue" = queue.Queue(maxsize=4)
@@ -297,29 +302,25 @@ class StreamingMuxer:
                 kind, a, b, c = item
                 if kind == "yuv":
                     for bgr in yuv420_to_bgr(a, b, c):
-                        self.writer.write(bgr)
+                        jpeg = _encode_jpeg(bgr, self.jpeg_quality)
+                        self.writer.add_jpeg(jpeg)
                         if self.has_audio:
-                            self.jpegs.append(
-                                _encode_jpeg(bgr, self.jpeg_quality)
-                            )
+                            self.jpegs.append(jpeg)
                 else:  # "dct": raw wire coefficients, native codec
                     from text2video_tpu.io import wire_native
 
                     w, h = self.wh
-                    frames = wire_native.decode_bgr(
+                    # JPEGs assemble straight from the quantized
+                    # coefficients — entropy coding only; the MP4 and the
+                    # AVI both stream-copy the same bytes. No IDCT, no
+                    # pixel re-encode anywhere on this path.
+                    jpegs = wire_native.to_jpegs(
                         a, b, c, h, w, quality=self.wire_quality
                     )
-                    for bgr in frames:
-                        self.writer.write(bgr)
+                    for jpeg in jpegs:
+                        self.writer.add_jpeg(jpeg)
                     if self.has_audio:
-                        # JPEGs assemble straight from the quantized
-                        # coefficients — entropy coding only, no IDCT
-                        # and no recompression loss.
-                        self.jpegs.extend(
-                            wire_native.to_jpegs(
-                                a, b, c, h, w, quality=self.wire_quality
-                            )
-                        )
+                        self.jpegs.extend(jpegs)
             except BaseException as e:  # surfaced in close()
                 self._err.append(e)
 
@@ -339,7 +340,7 @@ class StreamingMuxer:
     def close(self) -> List[str]:
         self._q.put(None)
         self._thread.join()
-        self.writer.release()
+        self.writer.close()
         if self._err:
             raise self._err[0]
         written = [self.mp4]
