@@ -20,12 +20,17 @@ _REPO_ROOT = os.path.dirname(
 )
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libt2v_align.so")
+# Every shared library the cmake project produces. A stale build dir
+# from before a library was added must trigger a rebuild, not a
+# permanent "unavailable" (the align lib alone used to gate the check,
+# silently skipping the wire codec everywhere).
+_ALL_LIBS = (_LIB_PATH, _LIB_PATH.replace("libt2v_align", "libt2v_wire"))
 
 _lib: Optional[ctypes.CDLL] = None
 
 
 def ensure_built() -> str:
-    if not os.path.exists(_LIB_PATH):
+    if not all(os.path.exists(p) for p in _ALL_LIBS):
         subprocess.run(
             ["cmake", "-S", ".", "-B", "build", "-G", "Ninja"],
             cwd=_NATIVE_DIR,
