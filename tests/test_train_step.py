@@ -256,3 +256,30 @@ def test_grad_accum_matches_full_batch():
     # A fresh network has many near-zero gradients whose Adam step-1
     # sign is noise; ~3-4% flip in practice on this tiny model.
     assert (diffs > 1e-5).mean() < 0.06
+
+
+def test_safe_grad_accum_hazard_rule():
+    """trainer.safe_grad_accum caps per-micro-batch unrolled frames at
+    896x512-class resolutions (the measured composed-step NaN hazard)
+    and never touches small-canvas or batch-1 configs."""
+    from text2video_tpu.train.trainer import TrainConfig, safe_grad_accum
+
+    small = TrainConfig(height=384, width=512)
+    big = TrainConfig(height=512, width=896)
+
+    # 512x384: finite at every probed shape -> untouched.
+    assert safe_grad_accum(small, 8, 12) == 1
+    # The known-NaN shape: batch 4 x clip 8 at 896x512 -> micro-batched.
+    acc = safe_grad_accum(big, 4, 8)
+    assert acc > 1 and 4 % acc == 0
+    assert (4 // acc) * 8 <= 16
+    # The known-finite shapes stay at the requested accumulation.
+    assert safe_grad_accum(big, 2, 8) == 1
+    assert safe_grad_accum(big, 1, 8) == 1
+    # An explicit user request is the floor, never lowered.
+    assert safe_grad_accum(
+        TrainConfig(height=512, width=896, grad_accum=4), 4, 8
+    ) == 4
+    # Non-power-of-two batches still land on a divisor.
+    acc3 = safe_grad_accum(big, 3, 8)
+    assert 3 % acc3 == 0 and (3 // acc3) * 8 <= 16

@@ -9,6 +9,7 @@ wall-clock + loss logging, periodic Orbax saves.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Callable, Optional
@@ -20,6 +21,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from text2video_tpu.parallel.mesh import make_mesh, param_specs
 from text2video_tpu.train import checkpoints as ckpt
 from text2video_tpu.train.data import PoseClipDataset
+from text2video_tpu.train import trainer
 from text2video_tpu.train.trainer import (
     TrainConfig,
     TrainerState,
@@ -50,8 +52,10 @@ class _StallWatchdog:
         self.log_fn = log_fn
         self._lock = threading.Lock()
         # First deadline is generous: compile + dataset upload happen
-        # before the first pet.
-        self._deadline = time.time() + timeout + 900.0
+        # before the first pet (a device-resident 896x512 dataset is
+        # ~7 GB = ~13 min through the 9 MB/s tunnel, plus a multi-minute
+        # remote compile at that shape).
+        self._deadline = time.time() + timeout + 1800.0
         self._stopped = False
         threading.Thread(target=self._run, daemon=True).start()
 
@@ -109,6 +113,16 @@ def train_gan(
     """
     w, h = dataset.canvas
     cfg = cfg or TrainConfig(height=h, width=w)
+    auto_accum = trainer.safe_grad_accum(cfg, batch_size, dataset.clip_len)
+    if auto_accum != cfg.grad_accum:
+        log_fn(
+            f"grad_accum auto-raised {cfg.grad_accum} -> {auto_accum}: "
+            f"batch {batch_size} x clip {dataset.clip_len} at "
+            f"{cfg.width}x{cfg.height} crosses the measured NaN hazard "
+            "(trainer.safe_grad_accum); micro-batched gradients are "
+            "mathematically identical"
+        )
+        cfg = dataclasses.replace(cfg, grad_accum=auto_accum)
     if n_data is None:
         # Largest divisor of the batch size that fits the device count.
         avail = max(len(jax.devices()) // n_model, 1)

@@ -119,6 +119,39 @@ class TrainConfig:
     dtype: Any = jnp.bfloat16
 
 
+# --- 896-class lowering hazard -------------------------------------------
+# On the TPU backend, the composed train step returns NaN losses when one
+# micro-batch's generator unroll covers too many frames at 896x512-class
+# resolutions, even though the forward pass and each loss's gradient are
+# individually finite at the identical shape (tools/nan_probe.py /
+# tools/flow_nan_probe.py bisects; the warp gather alone is also clean,
+# tools/warp_probe.py). Measured frontier, one jitted step with
+# lambda_adv=0 + l1 + photometric flow:
+#   512x384:  finite at every probed batch/clip combination
+#   896x512:  batch 1 x clip 4 finite; batch 2 x clip 8 finite (the
+#             henan_512 run trains 1200+ steps at that shape);
+#             batch 4 x clip 8 NaN from step 1.
+# Micro-batching is mathematically exact (equal-size means), so the fix
+# is to cap per-micro-batch unrolled frames at hazardous resolutions by
+# raising grad_accum automatically.
+_HAZARD_PIXELS = 896 * 512
+_HAZARD_SAFE_FRAMES = 16
+
+
+def safe_grad_accum(cfg: "TrainConfig", batch_size: int, clip_len: int) -> int:
+    """Smallest grad_accum >= cfg.grad_accum (dividing batch_size) whose
+    micro-batch unrolled-frame count avoids the measured NaN hazard."""
+    accum = max(int(cfg.grad_accum), 1)
+    if cfg.height * cfg.width < _HAZARD_PIXELS or batch_size <= 1:
+        return accum
+    while accum < batch_size and (
+        (batch_size // accum) * clip_len > _HAZARD_SAFE_FRAMES
+        or batch_size % accum
+    ):
+        accum += 1
+    return accum
+
+
 class TrainerState(flax.struct.PyTreeNode):
     step: jax.Array
     g_params: Any
