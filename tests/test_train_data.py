@@ -194,6 +194,96 @@ def test_augment_tracks_semantics():
     assert 0.2 < frame_blank.mean() < 0.8
 
 
+def test_scale_crop_registration():
+    """Scale/crop augmentation keeps labels and reals registered: the
+    re-rasterized transformed keypoints land where the zoomed+cropped
+    image content moved (reference randomScaleHeight_and_scaledCrop —
+    image and label must see the SAME affine)."""
+    import jax
+
+    from text2video_tpu.ops.rasterize import _rasterize_chunk, _round_up
+    from text2video_tpu.train.augment import (
+        make_scale_crop_branches,
+        scale_crop_scales,
+        scale_crop_transform_track,
+    )
+
+    h, w, m = 96, 128, 2
+    face = np.zeros((m, 210), np.float32)
+    pts = face.reshape(m, 70, 3)
+    # Jaw chain (points 0-16) along a diagonal well inside the canvas.
+    for i in range(17):
+        pts[:, i, 0] = 40.0 + 3.0 * i  # x
+        pts[:, i, 1] = 30.0 + 1.5 * i  # y
+        pts[:, i, 2] = 1.0
+    zeros = lambda n: jnp.zeros((m, n), jnp.float32)
+    face = jnp.asarray(face)
+    pose, hl, hr = zeros(75), zeros(63), zeros(63)
+    ns = _round_up(max(w, h), 128)
+
+    label1 = np.asarray(
+        _rasterize_chunk(face, pose, hl, hr, width=w, height=h,
+                         n_samples=ns)
+    ).astype(np.float32)
+
+    scales = scale_crop_scales(544.0 / 512.0 - 1.0)
+    branches = make_scale_crop_branches(1, m, h, w, scales)
+    u = jnp.asarray([[0.3, 0.7]], jnp.float32)
+    for si in (1, 2):
+        crop, off, s = branches[si](jnp.asarray(label1)[None], u)
+        off_flat = jnp.repeat(off, m, axis=0)[:, None, :]
+        f2 = scale_crop_transform_track(face, 70, s, off_flat, h, w)
+        label2 = np.asarray(
+            _rasterize_chunk(f2, pose, hl, hr, width=w, height=h,
+                             n_samples=ns)
+        ).astype(np.float32)
+
+        def centroid(img):
+            # [H, W, 3] -> (x, y) centroid of the GREEN channel: the jaw
+            # draws white; the rasterizer also stamps a red disk at the
+            # (0, 0) origin for all-invalid point groups, which must not
+            # pollute the measurement.
+            wgt = img[..., 1]
+            ys, xs = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+            return (
+                float((xs * wgt).sum() / wgt.sum()),
+                float((ys * wgt).sum() / wgt.sum()),
+            )
+
+        for t in range(m):
+            cx1, cy1 = centroid(np.asarray(crop)[0, t])
+            cx2, cy2 = centroid(label2[t])
+            assert abs(cx1 - cx2) < 1.5 and abs(cy1 - cy2) < 1.5, (
+                si, t, (cx1, cy1), (cx2, cy2)
+            )
+        # The crop actually moved the content (non-identity branch).
+        c0 = centroid(label1[0])
+        c1 = centroid(np.asarray(crop)[0, 0])
+        assert abs(c0[0] - c1[0]) + abs(c0[1] - c1[1]) > 1.0
+
+
+@requires_reference_data
+def test_device_data_scale_crop(dataset):
+    """Loop-level: --aug-scale-crop trains through the jitted step."""
+    from text2video_tpu.train.loop import train_gan
+    from text2video_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(
+        height=96, width=128, face_crop=24, base_ch=8, n_blocks=1,
+        d_base_ch=8, use_vgg=False, dtype=jnp.float32,
+        aug_scale_crop=True,
+    )
+    logs = []
+    state = train_gan(
+        dataset, cfg, steps=2, batch_size=2, device_data=True,
+        log_every=1, log_fn=logs.append,
+    )
+    assert int(state.step) == 2
+    assert any("augmented" in l for l in logs)
+    m = [l for l in logs if "g_loss" in l]
+    assert m and "nan" not in m[-1]
+
+
 @requires_reference_data
 def test_training_snapshots(dataset, tmp_path):
     from text2video_tpu.train.loop import train_gan

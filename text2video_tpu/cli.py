@@ -318,7 +318,10 @@ def cmd_train_gan(args) -> int:
     from text2video_tpu.train.loop import train_gan
     from text2video_tpu.train.trainer import TrainConfig
 
-    augmenting = args.aug_jitter > 0 or args.aug_drop > 0 or args.aug_face_drop > 0
+    augmenting = (
+        args.aug_jitter > 0 or args.aug_drop > 0
+        or args.aug_face_drop > 0 or args.aug_scale_crop
+    )
     dataset = PoseClipDataset(
         images_dir=args.images,
         keypoints_dir=args.keypoints,
@@ -351,6 +354,7 @@ def cmd_train_gan(args) -> int:
         aug_jitter_px=args.aug_jitter,
         aug_drop_prob=args.aug_drop,
         aug_face_drop_prob=args.aug_face_drop,
+        aug_scale_crop=args.aug_scale_crop,
         flow_supervision=args.flow,
         d_lr_scale=args.d_lr_scale,
         lambda_adv=args.lambda_adv,
@@ -598,6 +602,11 @@ def main(argv=None) -> int:
                    help="per-keypoint drop probability (augmentation)")
     p.add_argument("--aug-face-drop", type=float, default=0.0,
                    help="per-frame whole-face drop probability")
+    p.add_argument("--aug-scale-crop", action="store_true",
+                   help="random scaleHeight + aligned crop of reals AND "
+                   "keypoints each step (reference "
+                   "randomScaleHeight_and_scaledCrop, loadSize 544 / "
+                   "fineSize 512; device-data only)")
     p.add_argument("--flow", choices=["photometric", "reference"],
                    default="photometric",
                    help="flow loss: self-supervised warp or Farneback "

@@ -157,7 +157,13 @@ def train_gan(
         cfg.aug_jitter_px > 0
         or cfg.aug_drop_prob > 0
         or cfg.aug_face_drop_prob > 0
+        or cfg.aug_scale_crop
     )
+    if cfg.aug_scale_crop and not device_data:
+        log_fn(
+            "aug_scale_crop requires --device-data (labels re-rasterize "
+            "on device from the transformed tracks); ignoring the flag"
+        )
     if device_data:
         import jax.numpy as jnp
 
@@ -188,29 +194,60 @@ def train_gan(
                 "labels rasterize on device per step"
             )
 
+            from text2video_tpu.train.augment import (
+                make_scale_crop_branches,
+                scale_crop_scales,
+                scale_crop_transform_track,
+            )
+
             def gather_step_aug(st, fa, pa, hl, hr, ra, ca, idx, key):
                 b, t = idx.shape
                 flat = idx.reshape(-1)
+                key, key_sc = jax.random.split(key)
                 f, p, l, r = augment_tracks(
                     fa[flat], pa[flat], hl[flat], hr[flat], key,
                     drop_prob=cfg.aug_drop_prob,
                     jitter_px=cfg.aug_jitter_px,
                     face_drop_prob=cfg.aug_face_drop_prob,
                 )
+                to_f = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+                reals_f = to_f(ra[idx])
+                centers = ca[idx]
+                if cfg.aug_scale_crop:
+                    # Random zoom + aligned crop (reference
+                    # randomScaleHeight_and_scaledCrop): one scale per
+                    # step (lax.switch branch), per-sample crop offsets;
+                    # keypoint tracks and face centers get the SAME
+                    # affine so the pair stays registered
+                    # (tests/test_augment.py).
+                    scales = scale_crop_scales(cfg.aug_scale_max)
+                    kb, ko = jax.random.split(key_sc)
+                    si = jax.random.randint(kb, (), 0, len(scales))
+                    u = jax.random.uniform(ko, (b, 2))
+                    reals_f, off, s = jax.lax.switch(
+                        si,
+                        make_scale_crop_branches(b, t, h, w, scales),
+                        reals_f, u,
+                    )
+                    off_flat = jnp.repeat(off, t, axis=0)[:, None, :]
+                    f = scale_crop_transform_track(f, 70, s, off_flat, h, w)
+                    p = scale_crop_transform_track(p, 25, s, off_flat, h, w)
+                    l = scale_crop_transform_track(l, 21, s, off_flat, h, w)
+                    r = scale_crop_transform_track(r, 21, s, off_flat, h, w)
+                    centers = centers * s + (s - 1.0) / 2.0 - off[:, None, :]
                 labels_u8 = _rasterize_chunk(
                     f, p, l, r, width=w, height=h, n_samples=n_samples
                 )
-                to_f = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
                 batch = {
                     "labels": jax.lax.with_sharding_constraint(
                         to_f(labels_u8).reshape(b, t, h, w, 3),
                         batch_sharding,
                     ),
                     "reals": jax.lax.with_sharding_constraint(
-                        to_f(ra[idx]), batch_sharding
+                        reals_f, batch_sharding
                     ),
                     "face_centers": jax.lax.with_sharding_constraint(
-                        ca[idx], batch_sharding
+                        centers, batch_sharding
                     ),
                 }
                 return step_fn(st, batch)

@@ -96,6 +96,13 @@ class TrainConfig:
     aug_jitter_px: float = 0.0
     aug_drop_prob: float = 0.0
     aug_face_drop_prob: float = 0.0
+    # Random scaleHeight + aligned crop of reals AND keypoints each step
+    # (reference README.md:169-171: --resize_or_crop
+    # randomScaleHeight_and_scaledCrop --loadSize 544 --fineSize 512;
+    # aug_scale_max = loadSize/fineSize - 1). Device-data training only
+    # (labels re-rasterize from the transformed tracks on device).
+    aug_scale_crop: bool = False
+    aug_scale_max: float = 544.0 / 512.0 - 1.0
     # "photometric": self-supervised warp loss; "reference": supervise
     # against Farneback flow between the sampled real frames (vid2vid's
     # FlowNet-GT role; host data path only).
@@ -140,15 +147,32 @@ _HAZARD_SAFE_FRAMES = 16
 
 def safe_grad_accum(cfg: "TrainConfig", batch_size: int, clip_len: int) -> int:
     """Smallest grad_accum >= cfg.grad_accum (dividing batch_size) whose
-    micro-batch unrolled-frame count avoids the measured NaN hazard."""
+    micro-batch unrolled-frame count avoids the measured NaN hazard.
+
+    Warns when no accumulation factor can dodge the hazard — i.e.
+    clip_len alone exceeds the safe frontier at a hazardous resolution
+    (e.g. --clip-len 32 at 896x512): the returned accum still runs, but
+    the caller's "hazard dodged" assumption does not hold."""
     accum = max(int(cfg.grad_accum), 1)
-    if cfg.height * cfg.width < _HAZARD_PIXELS or batch_size <= 1:
+    if cfg.height * cfg.width < _HAZARD_PIXELS:
         return accum
     while accum < batch_size and (
         (batch_size // accum) * clip_len > _HAZARD_SAFE_FRAMES
         or batch_size % accum
     ):
         accum += 1
+    if (batch_size // accum) * clip_len > _HAZARD_SAFE_FRAMES:
+        import warnings
+
+        warnings.warn(
+            f"grad accumulation cannot reach the safe unroll size at "
+            f"{cfg.width}x{cfg.height}: micro-batch "
+            f"{batch_size // accum} x clip_len {clip_len} = "
+            f"{(batch_size // accum) * clip_len} frames > "
+            f"{_HAZARD_SAFE_FRAMES}; NaN losses are likely — reduce "
+            "--clip-len or the resolution.",
+            stacklevel=2,
+        )
     return accum
 
 
