@@ -12,11 +12,19 @@ for frames the model never saw; SSIM is the standard 11x11 Gaussian
 *windowed* SSIM (Wang et al. 2004), not a single global-moment formula
 (global moments inflate scores by ignoring local structure).
 
+Alongside the whole-frame numbers it reports MOUTH-crop PSNR/SSIM: a
+square region around the label keypoints' mouth center (the same points
+48-59 average that drives the re-pin in ops/smooth.py) — the
+quantitative stand-in for the reference poster's Q3 lip-sync user study
+(BASELINE.md): whole-frame SSIM barely weights the one region the
+pipeline exists to get right.
+
 Usage:
   python tools/eval_gan.py --ckpt checkpoints/fadg0 \
       --images ".../images_fadg0" --keypoints ".../keypoints_fadg0" \
       [--split holdout|train|all] [--clips 4] [--clip-len 16]
-Prints one JSON line {"psnr_db", "ssim", "split", "clips", "frames"}.
+Prints one JSON line {"psnr_db", "ssim", "mouth_psnr_db", "mouth_ssim",
+"split", "clips", "frames"}.
 """
 
 import argparse
@@ -91,18 +99,39 @@ def main() -> None:
     renderer = load_renderer(args.ckpt, profile)
     renderer.time_bucket = args.clip_len
 
+    # Mouth crop side: a quarter of the canvas height (~the lip region
+    # plus jaw context at every trained shape), even for clean halving.
+    mside = max(32, (args.height // 4) & ~1)
+
+    def mouth_crop(img: np.ndarray, center: np.ndarray) -> np.ndarray:
+        cx = int(np.clip(round(center[0]), mside // 2,
+                         img.shape[1] - mside // 2))
+        cy = int(np.clip(round(center[1]), mside // 2,
+                         img.shape[0] - mside // 2))
+        return img[cy - mside // 2 : cy + mside // 2,
+                   cx - mside // 2 : cx + mside // 2]
+
+    def psnr(a: np.ndarray, b: np.ndarray) -> float:
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0**2 / max(mse, 1e-9))
+
     rng = np.random.RandomState(7)
-    psnrs, ssims, n_frames = [], [], 0
+    psnrs, ssims, mpsnrs, mssims, n_frames = [], [], [], [], 0
     for _ in range(args.clips):
-        labels, reals, _ = dataset.sample_clip(rng)
+        labels, reals, centers = dataset.sample_clip(rng)
         fakes = renderer.render(labels)
+        # Centers are annotated on the label canvas == eval canvas here
+        # (dataset rasterizes at (width, height)); scale defensively in
+        # case the renderer worked at a different load size.
+        sy = fakes.shape[1] / labels.shape[1]
+        sx = fakes.shape[2] / labels.shape[2]
         for t in range(labels.shape[0]):
-            mse = np.mean(
-                (fakes[t].astype(np.float64) - reals[t].astype(np.float64))
-                ** 2
-            )
-            psnrs.append(10 * np.log10(255.0**2 / max(mse, 1e-9)))
+            psnrs.append(psnr(fakes[t], reals[t]))
             ssims.append(windowed_ssim(fakes[t], reals[t]))
+            c = centers[t] * np.array([sx, sy])
+            mf, mr = mouth_crop(fakes[t], c), mouth_crop(reals[t], c)
+            mpsnrs.append(psnr(mf, mr))
+            mssims.append(windowed_ssim(mf, mr))
             n_frames += 1
 
     print(
@@ -110,6 +139,9 @@ def main() -> None:
             {
                 "psnr_db": round(float(np.mean(psnrs)), 2),
                 "ssim": round(float(np.mean(ssims)), 4),
+                "mouth_psnr_db": round(float(np.mean(mpsnrs)), 2),
+                "mouth_ssim": round(float(np.mean(mssims)), 4),
+                "mouth_crop_px": mside,
                 "split": args.split,
                 "clips": args.clips,
                 "frames": n_frames,
