@@ -172,12 +172,13 @@ def _jacobi_bench(sweeps: int) -> None:
     )
 
 
-def _e2e_bench(square: bool = False) -> None:
+def _e2e_bench(load_size: int = 0) -> None:
     """Full pipeline on a ~10 s utterance, warm wall clock vs real time.
 
-    square=True measures the BASELINE.md north star exactly: a 512x512
-    canvas (the fadg0 profile's native canvas is 512x384; the square run
-    scales its keypoints onto a 512x512 canvas)."""
+    load_size > 0 measures a square canvas of that size (512 = the
+    BASELINE.md north star exactly; the fadg0 profile's native canvas is
+    512x384, so square runs scale its keypoints onto the square canvas).
+    load_size 0/None keeps the native 512x384 shape."""
     import dataclasses
     import tempfile
 
@@ -210,9 +211,9 @@ def _e2e_bench(square: bool = False) -> None:
     audio = FormantTTS(pdict=pdict).synthesize(text, 16000)
     dur_s = len(audio) / 16000.0
 
-    h, w = (512, 512) if square else (H, W)
+    h, w = (load_size, load_size) if load_size else (H, W)
     profile = get_profile("fadg0")
-    if square:
+    if load_size:
         profile = dataclasses.replace(profile, canvas=(w, h))
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -266,7 +267,7 @@ def main() -> None:
     parser.add_argument(
         "--load-size", type=int, default=None,
         help="e2e mode: square canvas at this size (512 = BASELINE.md "
-        "north-star shape exactly)",
+        "north-star shape exactly; omit for the native 512x384)",
     )
     args = parser.parse_args()
     if args.mode == "gen":
@@ -276,7 +277,7 @@ def main() -> None:
     elif args.mode == "jacobi":
         _jacobi_bench(args.sweeps)
     else:
-        _e2e_bench(square=args.load_size == 512)
+        _e2e_bench(load_size=args.load_size or 0)
 
 
 if __name__ == "__main__":

@@ -156,7 +156,10 @@ def test_boundaries_land_in_energy_dips(mandarin_aligner):
     rms = np.sqrt((frames.astype(np.float64) ** 2).mean(axis=1) + 1e-12)
 
     def e(t0, t1):
-        i0, i1 = int(t0 * 100), max(int(t1 * 100), int(t0 * 100) + 1)
+        # Clamp into the frame array: a span ending at the very end of
+        # the audio must yield a non-empty slice, not an empty .max().
+        i0 = min(int(t0 * 100), len(rms) - 1)
+        i1 = min(max(int(t1 * 100), i0 + 1), len(rms))
         return rms[i0:i1]
 
     ok, total = 0, 0

@@ -120,16 +120,33 @@ class Mp4Writer:
         avg_bitrate = (
             int(sum(self._sizes) * 8 * self.fps / n) if n else 0
         )
-        buffer_size = max(self._sizes, default=0)
+        # esds packs buffer_size into 3 bytes; a >=16 MiB sample must not
+        # blow up close() and lose an otherwise-complete file.
+        buffer_size = min(max(self._sizes, default=0), 0xFFFFFF)
 
-        stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+        # Zero samples (error paths can close a StreamingMuxer before any
+        # frame arrives): skip the sample-table entries a count of 0 would
+        # corrupt — an empty stts/stsz entry list is the spec-valid form.
+        stts = _full(
+            b"stts", 0, 0,
+            struct.pack(">I", 0) if n == 0
+            else struct.pack(">III", 1, n, delta),
+        )
         # One chunk holding every sample: stco points at the first sample.
-        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsc = _full(
+            b"stsc", 0, 0,
+            struct.pack(">I", 0) if n == 0
+            else struct.pack(">IIII", 1, 1, n, 1),
+        )
         stsz = _full(
             b"stsz", 0, 0,
             struct.pack(">II", 0, n) + struct.pack(f">{n}I", *self._sizes),
         )
-        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, self._mdat_at + 8))
+        stco = _full(
+            b"stco", 0, 0,
+            struct.pack(">I", 0) if n == 0
+            else struct.pack(">II", 1, self._mdat_at + 8),
+        )
         stsd = _full(
             b"stsd", 0, 0,
             struct.pack(">I", 1)
