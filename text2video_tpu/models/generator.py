@@ -37,12 +37,14 @@ import jax
 import jax.numpy as jnp
 
 from text2video_tpu.models.layers import (
+    Conv,
     ConvBlock,
     ResBlock,
     Upsample,
     downscale2x,
     reflect_pad,
 )
+from text2video_tpu.ops.phase_conv import head_conv_phase
 from text2video_tpu.ops.warp import flow_warp
 
 Dtype = Any
@@ -54,12 +56,19 @@ class GlobalTrunk(nn.Module):
 
     Labels and previous frames concatenate on channels into ONE encoder
     (vid2vid conditions the same way); a two-branch encoder costs 2x the
-    conv FLOPs for a first layer that channel-concat already subsumes."""
+    conv FLOPs for a first layer that channel-concat already subsumes.
+
+    ``phase_form``: decoder upsamples run as exact coarse-resolution
+    phase convs (ops/phase_conv.py); with ``emit_phase_last`` the final
+    stage returns the [B, H/2, W/2, 4*base_ch] phase tensor (for the
+    phase-aware heads) instead of the materialised full-res map."""
 
     base_ch: int = 64
     n_downsample: int = 3
     n_blocks: int = 9
     dtype: Dtype = jnp.bfloat16
+    phase_form: bool = False
+    emit_phase_last: bool = False
 
     @nn.compact
     def __call__(self, labels: jax.Array, prev_imgs: jax.Array) -> jax.Array:
@@ -73,8 +82,14 @@ class GlobalTrunk(nn.Module):
             x = ResBlock(ch, dtype=self.dtype)(x)
         for i in range(self.n_downsample):
             ch //= 2
-            x = Upsample(ch, dtype=self.dtype)(x)
-        return x  # [B, H, W, base_ch]
+            last = i == self.n_downsample - 1
+            x = Upsample(
+                ch,
+                dtype=self.dtype,
+                phase_form=self.phase_form,
+                emit_phase=self.phase_form and self.emit_phase_last and last,
+            )(x)
+        return x  # [B, H, W, base_ch] (or phase [B, H/2, W/2, 4*base_ch])
 
 
 class CompositeGenerator(nn.Module):
@@ -99,6 +114,12 @@ class CompositeGenerator(nn.Module):
     n_local_blocks: int = 3
     flow_scale: float = 10.0
     dtype: Dtype = jnp.bfloat16
+    # Exact phase-form decoder tail (ops/phase_conv.py): identical math
+    # and parameters, ~3.2x less executed-FLOP padding waste on the MXU
+    # (the 7x7 heads alone drop 161 -> 52 executed GF at 512x384, see
+    # tools/roofline.py --phase-form). Kept as a flag so equality with
+    # the plain path is testable (tests/test_phase_conv.py).
+    phase_form: bool = True
 
     @nn.compact
     def __call__(
@@ -124,6 +145,8 @@ class CompositeGenerator(nn.Module):
             n_downsample=self.n_downsample,
             n_blocks=self.n_blocks,
             dtype=dt,
+            phase_form=self.phase_form,
+            emit_phase_last=self.n_local_enhancers == 0,
         )(pyramid_l[-1], pyramid_i[-1])
 
         for lvl in range(self.n_local_enhancers - 1, -1, -1):
@@ -131,22 +154,39 @@ class CompositeGenerator(nn.Module):
             y = jnp.concatenate([pyramid_l[lvl], pyramid_i[lvl]], axis=-1)
             y = ConvBlock(ch, kernel=7, dtype=dt)(y)
             y = ConvBlock(2 * ch, stride=2, dtype=dt)(y)
-            b, h, w, c = feat.shape
-            feat = jax.image.resize(feat, (b, h, w, c), method="nearest")
+            b, h, w, _ = y.shape
+            feat = jax.image.resize(
+                feat, (b, h, w, feat.shape[-1]), method="nearest"
+            )
             y = y + nn.Conv(2 * ch, (3, 3), padding="SAME", dtype=dt,
                             param_dtype=jnp.float32)(feat)
             for _ in range(self.n_local_blocks):
                 y = ResBlock(2 * ch, dtype=dt)(y)
-            feat = Upsample(ch, dtype=dt)(y)
+            feat = Upsample(
+                ch, dtype=dt, phase_form=self.phase_form,
+                emit_phase=self.phase_form and lvl == 0,
+            )(y)
 
         # Heads: ONE 7x7 conv producing all 6 channels (img 3 + flow 2 +
         # mask 1), then a split. Mathematically identical to separate
         # convs, but three full-res narrow-output convs each pay the
         # MXU's 128-wide output granularity — merging them is ~3x cheaper.
-        heads = nn.Conv(
-            6, (7, 7), padding="VALID", dtype=dt,
-            param_dtype=jnp.float32, name="heads",
-        )(reflect_pad(feat, 3)).astype(jnp.float32)
+        # In phase form the conv consumes the decoder's phase tensor at
+        # half resolution (ops/phase_conv.py::head_conv_phase) — exactly
+        # the same function again, with the 6 outputs padding to one
+        # 128-lane tile instead of a full-resolution one.
+        head_cin = (
+            feat.shape[-1] // 4 if self.phase_form else feat.shape[-1]
+        )
+        head_conv = Conv(
+            6, in_features=head_cin, kernel=7, dtype=dt, name="heads"
+        )
+        if self.phase_form:
+            k7, b7 = head_conv.weights()
+            heads = head_conv_phase(feat, k7.astype(dt))
+            heads = (heads + b7.astype(dt)).astype(jnp.float32)
+        else:
+            heads = head_conv(reflect_pad(feat, 3)).astype(jnp.float32)
         raw = jnp.tanh(heads[..., 0:3])
         flow = heads[..., 3:5] * self.flow_scale
         mask = nn.sigmoid(heads[..., 5:6])

@@ -17,6 +17,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from text2video_tpu.ops.phase_conv import (
+    depth_to_space2,
+    head_conv_phase,
+    upsample2x_conv_phase,
+)
+
 Dtype = Any
 
 
@@ -28,16 +34,66 @@ def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
     )
 
 
+class Conv(nn.Module):
+    """Minimal NHWC conv with the same param tree as ``nn.Conv``
+    (kernel [kh, kw, cin, cout] float32 under "kernel", bias [cout]) —
+    auto-named "Conv_N" like nn.Conv, so existing checkpoints load
+    unchanged (same path, shapes, and init rng stream).
+
+    Declared setup-style so phase-form callers (ConvBlock upsample2x,
+    the generator heads) can reparameterise the SAME weights into
+    coarse-resolution window kernels (ops/phase_conv.py) instead of
+    running the padded full-resolution conv.
+    """
+
+    features: int
+    in_features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        self.w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features),
+            jnp.float32,
+        )
+        self.b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            self.w.astype(self.dtype),
+            (self.stride, self.stride),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + self.b.astype(self.dtype)
+
+    def weights(self):
+        return self.w, self.b
+
+
 class InstanceNorm(nn.Module):
     """Instance normalisation with float32 statistics.
 
     The vid2vid generator family normalises per-sample, per-channel over
     the spatial axes. Stats are computed in float32 regardless of the
     activation dtype to keep bfloat16 training stable.
+
+    ``phase > 1``: the input is a phase tensor whose channel axis holds
+    ``phase`` interleaved spatial copies of each real channel
+    (ops/phase_conv.py layout). Stats pool over space AND phases —
+    exactly the stats of the full-resolution map — and the (C,) params
+    keep their non-phase shape, so checkpoints are layout-independent.
     """
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
+    phase: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -45,21 +101,38 @@ class InstanceNorm(nn.Module):
         # the activation (that copy doubled HBM traffic and dominated the
         # cost at full resolution); var = E[x^2] - E[x]^2 on O(1)-scale
         # activations is numerically fine.
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        m2 = jnp.mean(
-            jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32
-        )
+        c = x.shape[-1] // self.phase
+        if self.phase > 1:
+            b, h, w, _ = x.shape
+            xg = x.reshape(b, h, w, self.phase, c)
+            red = (1, 2, 3)
+        else:
+            xg = x
+            red = (1, 2)
+        mean = jnp.mean(xg, axis=red, dtype=jnp.float32)  # [B, C]
+        m2 = jnp.mean(jnp.square(xg), axis=red, dtype=jnp.float32)
         var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-        c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        mul = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(self.dtype)
-        add = (bias - mean[..., 0, 0, :] * jax.lax.rsqrt(var[..., 0, 0, :] + self.epsilon) * scale).astype(self.dtype)
-        return x * mul + add[:, None, None, :]
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        mul = (rstd * scale).astype(self.dtype)
+        add = (bias - mean * rstd * scale).astype(self.dtype)
+        if self.phase > 1:
+            mul = jnp.tile(mul, (1, self.phase))
+            add = jnp.tile(add, (1, self.phase))
+        return x * mul[:, None, None, :] + add[:, None, None, :]
 
 
 class ConvBlock(nn.Module):
-    """ReflectPad -> Conv -> InstanceNorm -> ReLU (norm/act optional)."""
+    """ReflectPad -> Conv -> InstanceNorm -> ReLU (norm/act optional).
+
+    ``upsample2x``: compute ``nearest-up(2x) -> this block`` exactly, in
+    phase form at the COARSE resolution (ops/phase_conv.py) — same
+    parameters and math, ~4x less MXU padding waste for narrow outputs
+    and no materialised 2x intermediate. Requires kernel=3, stride=1.
+    ``emit_phase`` keeps the output as a [B, h, w, 4*C] phase tensor for
+    a consumer that is itself phase-aware (the generator heads).
+    """
 
     features: int
     kernel: int = 3
@@ -67,19 +140,33 @@ class ConvBlock(nn.Module):
     norm: bool = True
     act: bool = True
     dtype: Dtype = jnp.bfloat16
+    upsample2x: bool = False
+    emit_phase: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        pad = self.kernel // 2
-        x = reflect_pad(x, pad)
-        x = nn.Conv(
+        conv = Conv(
             self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="VALID",
+            in_features=x.shape[-1],
+            kernel=self.kernel,
+            stride=self.stride,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        )
+        if self.upsample2x:
+            if self.kernel != 3 or self.stride != 1:
+                raise ValueError("upsample2x requires kernel=3, stride=1")
+            k, b = conv.weights()
+            y = upsample2x_conv_phase(
+                x.astype(self.dtype), k.astype(self.dtype)
+            )
+            y = y + jnp.tile(b, 4).astype(self.dtype)
+            if self.norm:
+                y = InstanceNorm(dtype=self.dtype, phase=4)(y)
+            if self.act:
+                y = nn.relu(y)
+            return y if self.emit_phase else depth_to_space2(y)
+        x = reflect_pad(x, self.kernel // 2)
+        x = conv(x)
         if self.norm:
             x = InstanceNorm(dtype=self.dtype)(x)
         if self.act:
@@ -101,13 +188,28 @@ class ResBlock(nn.Module):
 
 
 class Upsample(nn.Module):
-    """2x nearest-neighbour upsample followed by a 3x3 conv block."""
+    """2x nearest-neighbour upsample followed by a 3x3 conv block.
+
+    ``phase_form``: run the mathematically-identical coarse-resolution
+    phase conv instead (ConvBlock.upsample2x); ``emit_phase``
+    additionally skips the final depth-to-space so a phase-aware head
+    can consume the [B, h, w, 4*C] tensor directly.
+    """
 
     features: int
     dtype: Dtype = jnp.bfloat16
+    phase_form: bool = False
+    emit_phase: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.phase_form:
+            return ConvBlock(
+                self.features,
+                dtype=self.dtype,
+                upsample2x=True,
+                emit_phase=self.emit_phase,
+            )(x)
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
         return ConvBlock(self.features, dtype=self.dtype)(x)

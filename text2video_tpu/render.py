@@ -50,10 +50,15 @@ class Renderer:
         base_ch: int = 64,
         n_blocks: int = 9,
         dtype=jnp.bfloat16,
+        phase_form: bool = True,
     ) -> "Renderer":
-        """Random-init renderer (weights come from training/checkpoints)."""
+        """Random-init renderer (weights come from training/checkpoints).
+
+        phase_form=False runs the plain full-resolution decoder tail
+        instead of the mathematically-identical phase form (probes)."""
         config = config or RenderConfig()
-        gen = CompositeGenerator(base_ch=base_ch, n_blocks=n_blocks, dtype=dtype)
+        gen = CompositeGenerator(base_ch=base_ch, n_blocks=n_blocks,
+                                 dtype=dtype, phase_form=phase_form)
         labels = jnp.zeros((1, height, width, 3 * config.n_frames_ctx))
         prev = jnp.zeros((1, height, width, 3 * config.use_prev_frames))
         params = gen.init(jax.random.PRNGKey(seed), labels, prev, jnp.ones((1,)))

@@ -52,6 +52,11 @@ def main() -> None:
     p.add_argument("--batches", default="1,4,16,32")
     p.add_argument("--scan-batches", default="1,4")
     p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--no-phase", action="store_true",
+                   help="probe the plain (pre-round-4) decoder tail")
+    p.add_argument("--dump-hlo", default="",
+                   help="directory: write optimized HLO of the raw "
+                   "forward per batch size (the b1-vs-b4 layout diff)")
     args = p.parse_args()
 
     import jax
@@ -62,7 +67,9 @@ def main() -> None:
     from text2video_tpu.render import Renderer
 
     h, w = args.height, args.width
-    renderer = Renderer.create(height=h, width=w)
+    renderer = Renderer.create(
+        height=h, width=w, phase_form=not args.no_phase
+    )
     cfg = renderer.config
     frame_flops = _analytic_frame_flops(h, w)
     rng = np.random.RandomState(0)
@@ -93,6 +100,16 @@ def main() -> None:
             rng.rand(b, h, w, 3 * cfg.use_prev_frames).astype(np.float32)
         )
         hp = jnp.ones((b,), jnp.float32)
+        if args.dump_hlo:
+            os.makedirs(args.dump_hlo, exist_ok=True)
+            txt = (
+                fwd.lower(renderer.params, lc, pi, hp)
+                .compile().as_text()
+            )
+            path = os.path.join(args.dump_hlo, f"forward_b{b}.hlo")
+            with open(path, "w") as f:
+                f.write(txt)
+            print(json.dumps({"hlo": path, "bytes": len(txt)}), flush=True)
         out = [None]
 
         def run(lc=lc, pi=pi, hp=hp, out=out):

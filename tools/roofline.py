@@ -34,16 +34,24 @@ def _ceil(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def conv_layer(name, b, h, w, cin, cout, k, stride=1, norm=True):
+def conv_layer(name, b, h, w, cin, cout, k, stride=1, norm=True,
+               m=None, useful_flops=None, extra_bytes=0.0):
+    """One conv as an MXU matmul. ``m`` overrides the row count (phase
+    window convs run (h+1)(w+1) windows); ``useful_flops`` overrides the
+    useful-FLOP count (a phase-expanded kernel holds duplicated/zero taps
+    that don't add useful work); ``extra_bytes`` models extra HBM passes
+    (depth-to-space materialisation)."""
     ho, wo = h // stride, w // stride
-    m = b * ho * wo
+    if m is None:
+        m = b * ho * wo
     kk = cin * k * k
-    useful = 2.0 * m * kk * cout
+    useful = useful_flops if useful_flops is not None else 2.0 * m * kk * cout
     executed = 2.0 * m * _ceil(kk, MXU) * _ceil(cout, MXU)
     bytes_ = (
         kk * cout * BF16                      # weights
         + b * h * w * cin * BF16              # input read
         + m * cout * BF16 * (1 + (NORM_PASSES if norm else 0))
+        + extra_bytes
     )
     return {
         "layer": name,
@@ -57,7 +65,7 @@ def conv_layer(name, b, h, w, cin, cout, k, stride=1, norm=True):
 
 
 def generator_layers(b, h, w, base_ch=64, n_down=3, n_blocks=9,
-                     label_ch=9, prev_ch=6):
+                     label_ch=9, prev_ch=6, phase_form=False):
     layers = [conv_layer("stem7x7", b, h, w, label_ch + prev_ch, base_ch, 7)]
     ch, hh, ww = base_ch, h, w
     for i in range(n_down):
@@ -67,10 +75,35 @@ def generator_layers(b, h, w, base_ch=64, n_down=3, n_blocks=9,
         layers.append(conv_layer(f"res{i}a", b, hh, ww, ch, ch, 3))
         layers.append(conv_layer(f"res{i}b", b, hh, ww, ch, ch, 3))
     for i in range(n_down):
+        if phase_form:
+            # ops/phase_conv.py: 2x2 window conv AT the coarse res with
+            # 4x stacked phase outputs; useful work == the plain conv's.
+            useful = 2.0 * b * (2 * hh) * (2 * ww) * (ch * 9) * (ch // 2)
+            last = i == n_down - 1
+            layers.append(conv_layer(
+                f"up{i}p", b, hh, ww, ch, 4 * (ch // 2), 2,
+                m=b * (hh + 1) * (ww + 1), useful_flops=useful,
+                # d2s materialisation between stages (skipped before the
+                # phase-aware heads on the last stage).
+                extra_bytes=0 if last
+                else 2.0 * b * 4 * hh * ww * (ch // 2) * BF16,
+            ))
+        else:
+            layers.append(
+                conv_layer(f"up{i}", b, 2 * hh, 2 * ww, ch, ch // 2, 3)
+            )
         hh, ww = hh * 2, ww * 2
-        layers.append(conv_layer(f"up{i}", b, hh, ww, ch, ch // 2, 3))
         ch //= 2
-    layers.append(conv_layer("heads7x7", b, h, w, ch, 6, 7, norm=False))
+    if phase_form:
+        hp, wp = h // 2, w // 2
+        useful = 2.0 * b * h * w * (ch * 49) * 6
+        layers.append(conv_layer(
+            "heads7x7p", b, hp, wp, 4 * ch, 24, 4, norm=False,
+            m=b * (hp + 1) * (wp + 1), useful_flops=useful,
+            extra_bytes=2.0 * b * h * w * 6 * BF16,
+        ))
+    else:
+        layers.append(conv_layer("heads7x7", b, h, w, ch, 6, 7, norm=False))
     return layers
 
 
@@ -80,10 +113,15 @@ def main() -> None:
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--batches", default="1,4,16,32")
     p.add_argument("--per-layer", action="store_true")
+    p.add_argument("--phase-form", action="store_true",
+                   help="model the exact phase-form decoder tail "
+                   "(ops/phase_conv.py; generator default since round 4)")
     args = p.parse_args()
 
     for b in [int(x) for x in args.batches.split(",") if x]:
-        layers = generator_layers(b, args.height, args.width)
+        layers = generator_layers(
+            b, args.height, args.width, phase_form=args.phase_form
+        )
         t_us = sum(max(l["t_mxu_us"], l["t_hbm_us"]) for l in layers)
         useful = sum(l["useful_gf"] for l in layers)
         executed = sum(l["executed_gf"] for l in layers)
