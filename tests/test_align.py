@@ -248,7 +248,11 @@ def test_align_golden_dotheymake(fadg0_setup):
             if p != "sp"]
     assert [p for _, p in golden] == [p for _, p in ours]
     err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
-    assert np.mean(err) < 1.0, err
+    # Measured 0.286 mean, all boundaries within one 25 fps frame
+    # (tools/align_ratchet_probe.py; capacity sweep over
+    # iterations/mixes/feature-kind is flat at this floor).
+    assert np.mean(err) <= 0.5, err
+    assert max(err) <= 1, err
 
 
 @requires_reference_data
@@ -260,11 +264,29 @@ def test_align_golden_shehadyour(fadg0_setup):
     # Identical phone sequence (incl. the "your" = Y UH1 R variant the
     # reference chose) and sub-frame mean agreement: word-supervised
     # training (fixture) recovers the reference's segmentation
-    # convention; measured mean ~0.6 frames, max 3.
+    # convention. Measured mean 0.5: the residual is symmetric +-1-frame
+    # boundary disagreement (20-40 ms) that no capacity knob moves
+    # (tools/align_ratchet_probe.py sweep), plus exactly two off-by-3
+    # boundaries at the "in greasy" nasal closure — a genuinely ambiguous
+    # segmentation the golden labels later than every model we trained.
     assert [p for _, p in golden] == [p for _, p in ours]
     err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
-    assert np.mean(err) < 2.0, err
-    assert max(err) <= 5, err
+    assert np.mean(err) <= 0.75, err
+    assert max(err) <= 3, err
+    assert sum(e > 1 for e in err) <= 2, err
+
+
+@requires_reference_data
+def test_align_golden_sheslipped(fadg0_setup):
+    aligner, utts, _, _ = fadg0_setup
+    golden = _golden_phones("sheslipped")
+    ours = [(f, p) for f, p in aligner.align(utts[4][0], utts[4][1]).phones
+            if p != "sp"]
+    assert [p for _, p in golden] == [p for _, p in ours]
+    err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
+    # Measured 0.4 mean, max 1 (35 phones).
+    assert np.mean(err) <= 0.6, err
+    assert max(err) <= 1, err
 
 
 @requires_reference_data
@@ -345,26 +367,42 @@ def test_packaged_english_model_matches_goldens():
     aligner = EnglishAligner.load(
         pkg, f"{REFERENCE_DIR}/aligner/english/dict", 25.0
     )
-    wav = load_wav_for_alignment(
-        f"{REFERENCE_DIR}/input_audio/fadg0/Dotheymake.wav"
-    )
-    text = " ".join(
-        p[2]
-        for p in (
-            l.split()
-            for l in open(
-                f"{REFERENCE_DIR}/input_timestamp/fadg0/words/Dotheymake.txt"
+
+    def text_of(name):
+        return " ".join(
+            p[2]
+            for p in (
+                l.split()
+                for l in open(
+                    f"{REFERENCE_DIR}/input_timestamp/fadg0/words/{name}.txt"
+                )
             )
+            if len(p) == 3 and p[2] != "SIL"
         )
-        if len(p) == 3 and p[2] != "SIL"
-    )
-    golden = _golden_phones("Dotheymake")
-    ours = [
-        (f, p) for f, p in aligner.align(wav, text).phones if p != "sp"
-    ]
-    assert [p for _, p in golden] == [p for _, p in ours]
-    err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
-    assert np.mean(err) < 1.0, err
+
+    # Measured on the shipped model (tools/align_ratchet_probe.py --load):
+    # Dotheymake 0.286 / max 1, Shehadyour 0.618 / max 3 (two off-by-3
+    # nasal-closure boundaries, see test_align_golden_shehadyour),
+    # sheslipped 0.371 / max 1.
+    bounds = {
+        "Dotheymake": (0.5, 1),
+        "Shehadyour": (0.75, 3),
+        "sheslipped": (0.5, 1),
+    }
+    for name, (mean_tol, max_tol) in bounds.items():
+        wav = load_wav_for_alignment(
+            f"{REFERENCE_DIR}/input_audio/fadg0/{name}.wav"
+        )
+        golden = _golden_phones(name)
+        ours = [
+            (f, p)
+            for f, p in aligner.align(wav, text_of(name)).phones
+            if p != "sp"
+        ]
+        assert [p for _, p in golden] == [p for _, p in ours], name
+        err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
+        assert np.mean(err) <= mean_tol, (name, err)
+        assert max(err) <= max_tol, (name, err)
 
 
 @requires_reference_data

@@ -9,8 +9,13 @@ the reference's shipped timestamp outputs
 corpus-trained P2FA models are stripped from its mirror, but their
 word/phone outputs for five utterances ARE shipped, and supervised
 segments recover their segmentation convention). Measured on the golden
-utterances: mean frame error 0.29 (Dotheymake) / 0.62 (Shehadyour) vs
-3.76 unsupervised (tests/test_align.py ratchets these).
+utterances (tools/align_ratchet_probe.py; tests/test_align.py ratchets
+these): mean frame error 0.286 (Dotheymake) / 0.618 (Shehadyour) /
+0.371 (sheslipped) vs 3.76 unsupervised. The residual is symmetric
++-1-frame boundary disagreement that no capacity knob moves (sweep over
+iterations x mixes x feature kind is flat at this floor) plus two
+off-by-3 nasal-closure boundaries in Shehadyour — supervision
+convention, not model capacity.
 
   python tools/make_english_model.py [--out text2video_tpu/data/english_fadg0.am]
 """
@@ -31,7 +36,7 @@ def main() -> None:
             "text2video_tpu", "data", "english_fadg0.am",
         ),
     )
-    ap.add_argument("--iterations", type=int, default=16)
+    ap.add_argument("--iterations", type=int, default=32)
     ap.add_argument("--mixes", type=int, default=4)
     args = ap.parse_args()
 
