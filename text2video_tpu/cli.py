@@ -72,6 +72,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="write pose JSONs / label JPEGs / timestamp files like the "
         "reference's dataset directories",
     )
+    p.add_argument(
+        "--pose-device",
+        choices=["host", "device"],
+        default="host",
+        help="where the pose stage runs: the bit-exact float64 host path "
+        "(~25 ms/utterance, the single-chip default) or the fused Pallas "
+        "device kernel (wins when the time axis is sharded over a mesh)",
+    )
 
 
 def _build_pipeline(args, need_aligner: bool, mandarin_aligner=None):
@@ -84,6 +92,7 @@ def _build_pipeline(args, need_aligner: bool, mandarin_aligner=None):
         out_dir=args.out,
         smooth=not args.no_smooth,
         emit_intermediates=args.emit_intermediates,
+        pose_device=getattr(args, "pose_device", "host"),
     )
     aligner = None
     if need_aligner:

@@ -157,9 +157,15 @@ class RenderConfig:
     # quality is JPEG-style (wire roundtrip PSNR bounds in
     # tests/test_wire_codec.py).
     wire_format: str = "dct"
-    wire_quality: int = 80
-    wire_k_luma: int = 20
-    wire_k_chroma: int = 8
+    # Defaults picked by sweeping roundtrip PSNR on the committed GAN
+    # clips (tools/wire_quality_probe.py): 12/6 @ quality 75 is 43-49 dB
+    # on the worst (sharp synthetic-avatar) content and >46 dB photoreal
+    # at 62.5% of the k=20/8 @ 80 wire bytes — the e2e wall clock is
+    # transfer-bound through the ~9 MB/s tunnel, so wire bytes are wall
+    # seconds.
+    wire_quality: int = 75
+    wire_k_luma: int = 12
+    wire_k_chroma: int = 6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,3 +184,13 @@ class PipelineConfig:
     # Falls back to the materialized-RGB path when intermediates or
     # arrays are requested.
     stream: bool = True
+    # Where the pose stage (gather/blend/smooth over ~200 KB of keypoint
+    # tracks) runs. "host" is the measured default for single-chip runs:
+    # the float64 host path takes ~25 ms per 10 s utterance while the
+    # device path pays per-dispatch latency plus four track pulls (~0.8 s
+    # through the axon tunnel) for work that is scalar-sequential, not
+    # MXU-shaped — and the tracks are pulled back to host for
+    # rasterization scaling either way. "device" opts into the fused
+    # Pallas kernel (ops/fused_pose.py); a mesh on the pipeline always
+    # uses the sharded device path regardless (time-axis parallelism).
+    pose_device: str = "host"

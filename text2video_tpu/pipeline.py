@@ -139,7 +139,11 @@ class Text2VideoPipeline:
         cfg = self.config
         timer = StageTimer()
         with timer.stage("pose_synthesis"):
-            result = self.pose_stage.run(ts, device=True, mesh=self.mesh)
+            result = self.pose_stage.run(
+                ts,
+                device=cfg.pose_device == "device",
+                mesh=self.mesh,
+            )
 
         # Tracks for rasterization: the smoothed pass when enabled
         # (reference feeds test_openpose/tmp_smooth to vid2vid,
@@ -368,7 +372,9 @@ class Text2VideoPipeline:
             with timer.stage("frontend"):
                 samples = load_wav_for_alignment(wav_path)
                 res = self.aligner.align(samples, text)
-                pose_res = self.pose_stage.run(res.phones, device=True)
+                pose_res = self.pose_stage.run(
+                    res.phones, device=cfg.pose_device == "device"
+                )
             face = pose_res.face_smooth if cfg.smooth else pose_res.face
             pose = pose_res.pose_smooth if cfg.smooth else pose_res.pose
             hands = self.pose_stage.table.hands[pose_res.plan.carrier]

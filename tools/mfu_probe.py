@@ -57,7 +57,13 @@ def main() -> None:
     p.add_argument("--dump-hlo", default="",
                    help="directory: write optimized HLO of the raw "
                    "forward per batch size (the b1-vs-b4 layout diff)")
+    p.add_argument("--compiler-options", default="",
+                   help="JSON dict of XLA compiler options shipped with "
+                   "the compile request (e.g. "
+                   '\'{"xla_tpu_run_space_to_batch": false}\' to test '
+                   "the space-to-batch layout-copy hypothesis)")
     args = p.parse_args()
+    copts = json.loads(args.compiler_options) if args.compiler_options else None
 
     import jax
     import jax.numpy as jnp
@@ -100,20 +106,31 @@ def main() -> None:
             rng.rand(b, h, w, 3 * cfg.use_prev_frames).astype(np.float32)
         )
         hp = jnp.ones((b,), jnp.float32)
+        compiled = None
+        if copts is not None:
+            compiled = fwd.lower(renderer.params, lc, pi, hp).compile(
+                compiler_options=copts
+            )
         if args.dump_hlo:
             os.makedirs(args.dump_hlo, exist_ok=True)
-            txt = (
-                fwd.lower(renderer.params, lc, pi, hp)
-                .compile().as_text()
-            )
+            if compiled is None:
+                compiled_for_text = fwd.lower(
+                    renderer.params, lc, pi, hp
+                ).compile()
+            else:
+                compiled_for_text = compiled
+            txt = compiled_for_text.as_text()
             path = os.path.join(args.dump_hlo, f"forward_b{b}.hlo")
             with open(path, "w") as f:
                 f.write(txt)
             print(json.dumps({"hlo": path, "bytes": len(txt)}), flush=True)
         out = [None]
 
-        def run(lc=lc, pi=pi, hp=hp, out=out):
-            out[0] = fwd(renderer.params, lc, pi, hp)
+        def run(lc=lc, pi=pi, hp=hp, out=out, compiled=compiled):
+            if compiled is not None:
+                out[0] = compiled(renderer.params, lc, pi, hp)
+            else:
+                out[0] = fwd(renderer.params, lc, pi, hp)
 
         def sync(out=out):
             _ = float(jnp.sum(jnp.abs(out[0][:, ::64, ::64])))

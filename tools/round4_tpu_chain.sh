@@ -79,17 +79,19 @@ done
 
 # ---- Stage 6: fadg0 scale-crop finetune + holdout eval --------------------
 if [ ! -d checkpoints/fadg0_sc ]; then
-  log "stage 6: fadg0 +aug-scale-crop finetune (300 adv steps)"
+  log "stage 6: fadg0 +aug-scale-crop finetune (400 adv steps)"
   cp -r checkpoints/fadg0 checkpoints/fadg0_sc
   rm -f checkpoints/fadg0_sc/train_*.log
 fi
-if ! grep -q '"steps"' checkpoints/fadg0_sc/train_sc.log 2>/dev/null; then
+# --steps counts THIS invocation's steps (resume continues the count):
+# 400 more adversarial steps on top of the step-3500 fadg0 checkpoint.
+if ! ls checkpoints/fadg0_sc/step_00003900 >/dev/null 2>&1; then
   while true; do
     python -u -m text2video_tpu.cli train-gan \
       --images "$FIMG" --keypoints "$FKP" \
       --ckpt checkpoints/fadg0_sc --width 512 --height 384 \
       --device-data --aug-scale-crop --lambda-adv 0.5 --d-lr-scale 0.25 \
-      --lr 1e-4 --steps 3800 --batch-size 4 --clip-len 6 \
+      --lr 1e-4 --steps 400 --batch-size 4 --clip-len 6 \
       --sample-every 100 --stall-timeout 1200 \
       >> checkpoints/fadg0_sc/train_sc.log 2>&1
     rc=$?
