@@ -16,6 +16,7 @@ from text2video_tpu.models.generator import CompositeGenerator
 from text2video_tpu.models.layers import reflect_pad
 from text2video_tpu.ops.phase_conv import (
     depth_to_space2,
+    down2x_conv_phase,
     head_conv_phase,
     space_to_depth2,
     upsample2x_conv_phase,
@@ -66,6 +67,44 @@ def test_head_phase_exact(h, w):
     k7 = jax.random.normal(k2, (7, 7, 6, 4), jnp.float32)
     ref = _ref_head_conv(f, k7)
     got = head_conv_phase(space_to_depth2(f), k7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def _ref_down_conv(f, k3):
+    return jax.lax.conv_general_dilated(
+        reflect_pad(f, 1), k3, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize("h,w", [(4, 4), (5, 7), (8, 6), (3, 4)])
+def test_down_phase_exact(h, w):
+    """down2x_conv_phase(P) == reflect-pad(1) + 3x3 stride-2 of d2s(P)."""
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    f = jax.random.normal(k1, (2, 2 * h, 2 * w, 5), jnp.float32)
+    k3 = jax.random.normal(k2, (3, 3, 5, 8), jnp.float32)
+    ref = _ref_down_conv(f, k3)
+    got = down2x_conv_phase(space_to_depth2(f), k3)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (6, 10)])
+def test_stem_phase_exact(h, w):
+    """Phase stem chain == plain 7x7 stem + stride-2 downsample:
+    head_conv_phase(s2d(x), k7, emit_phase) into down2x_conv_phase is
+    the exact reflect-pad(3)+7x7 then reflect-pad(1)+3x3/2 composite."""
+    key = jax.random.PRNGKey(12)
+    k1, k2, k3k = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 2 * h, 2 * w, 15), jnp.float32)
+    k7 = jax.random.normal(k2, (7, 7, 15, 4), jnp.float32) * 0.2
+    k3 = jax.random.normal(k3k, (3, 3, 4, 8), jnp.float32) * 0.2
+    ref = _ref_down_conv(_ref_head_conv(x, k7), k3)
+    p = head_conv_phase(space_to_depth2(x), k7, emit_phase=True)
+    got = down2x_conv_phase(p, k3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 

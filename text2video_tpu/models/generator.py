@@ -74,10 +74,29 @@ class GlobalTrunk(nn.Module):
     def __call__(self, labels: jax.Array, prev_imgs: jax.Array) -> jax.Array:
         ch = self.base_ch
         x = jnp.concatenate([labels, prev_imgs], axis=-1)
-        x = ConvBlock(ch, kernel=7, dtype=self.dtype)(x)
+        # Phase-form stem: run the 7x7 full-res conv as a half-res window
+        # conv over space_to_depth(input) and hand the phase tensor
+        # straight to the first stride-2 downsample — the [B, H, W, 64]
+        # map (the only wide full-res activation, and the one XLA
+        # space-to-batches at batch 1) is never materialised. Exact; same
+        # parameters (ops/phase_conv.py).
+        phase_stem = (
+            self.phase_form
+            and self.n_downsample >= 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        x = ConvBlock(
+            ch, kernel=7, dtype=self.dtype, phase_stem=phase_stem
+        )(x)
         for i in range(self.n_downsample):
             ch *= 2
-            x = ConvBlock(ch, stride=2, dtype=self.dtype)(x)
+            x = ConvBlock(
+                ch,
+                stride=2,
+                dtype=self.dtype,
+                from_phase=phase_stem and i == 0,
+            )(x)
         for _ in range(self.n_blocks):
             x = ResBlock(ch, dtype=self.dtype)(x)
         for i in range(self.n_downsample):
@@ -191,8 +210,14 @@ class CompositeGenerator(nn.Module):
         flow = heads[..., 3:5] * self.flow_scale
         mask = nn.sigmoid(heads[..., 5:6])
 
-        prev = prev_imgs[..., :3].astype(jnp.float32)
-        warped = flow_warp(prev, flow)
+        # Warp in the compute dtype: prev_imgs was already cast to ``dt``
+        # above, so upcasting to f32 here added no information — it only
+        # doubled the gather bytes of the warp's [H*W, 4*C] neighbourhood
+        # table, the scan's single slowest non-conv op
+        # (out/scan_profile_r4.json). Sample positions stay f32 inside
+        # flow_warp; only the gathered pixel values ride bf16.
+        prev = prev_imgs[..., :3]
+        warped = flow_warp(prev, flow).astype(jnp.float32)
         # First frame: no previous image to warp — force the mask open.
         hp = has_prev.astype(jnp.float32).reshape(-1, 1, 1, 1)
         mask = mask * hp + (1.0 - hp)

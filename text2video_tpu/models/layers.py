@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 from text2video_tpu.ops.phase_conv import (
     depth_to_space2,
+    down2x_conv_phase,
     head_conv_phase,
+    space_to_depth2,
     upsample2x_conv_phase,
 )
 
@@ -132,6 +134,15 @@ class ConvBlock(nn.Module):
     and no materialised 2x intermediate. Requires kernel=3, stride=1.
     ``emit_phase`` keeps the output as a [B, h, w, 4*C] phase tensor for
     a consumer that is itself phase-aware (the generator heads).
+
+    ``phase_stem``: the input is a full-resolution map with even H/W;
+    run this (stride-1) block as a half-resolution phase window conv
+    (head_conv_phase over space_to_depth2(x)) and emit the phase tensor
+    — the wide full-res activation XLA would otherwise have to
+    space-to-batch is never built. ``from_phase``: the input is a phase
+    tensor and this is a stride-2 block; consume it directly
+    (down2x_conv_phase), producing the plain half-res output. Both are
+    exact reparameterisations of the same Conv parameters.
     """
 
     features: int
@@ -142,16 +153,49 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     upsample2x: bool = False
     emit_phase: bool = False
+    phase_stem: bool = False
+    from_phase: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1] // 4 if self.from_phase else x.shape[-1]
         conv = Conv(
             self.features,
-            in_features=x.shape[-1],
+            in_features=in_features,
             kernel=self.kernel,
             stride=self.stride,
             dtype=self.dtype,
         )
+        if self.phase_stem:
+            if self.stride != 1:
+                raise ValueError("phase_stem requires stride=1")
+            if self.kernel != 7:
+                raise ValueError("phase_stem requires kernel=7")
+            k, b = conv.weights()
+            y = head_conv_phase(
+                space_to_depth2(x.astype(self.dtype)),
+                k.astype(self.dtype),
+                emit_phase=True,
+            )
+            y = y + jnp.tile(b, 4).astype(self.dtype)
+            if self.norm:
+                y = InstanceNorm(dtype=self.dtype, phase=4)(y)
+            if self.act:
+                y = nn.relu(y)
+            return y
+        if self.from_phase:
+            if self.kernel != 3 or self.stride != 2:
+                raise ValueError("from_phase requires kernel=3, stride=2")
+            k, b = conv.weights()
+            y = down2x_conv_phase(
+                x.astype(self.dtype), k.astype(self.dtype)
+            )
+            y = y + b.astype(self.dtype)
+            if self.norm:
+                y = InstanceNorm(dtype=self.dtype)(y)
+            if self.act:
+                y = nn.relu(y)
+            return y
         if self.upsample2x:
             if self.kernel != 3 or self.stride != 1:
                 raise ValueError("upsample2x requires kernel=3, stride=1")

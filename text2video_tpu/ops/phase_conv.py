@@ -202,11 +202,15 @@ def _head_pad_axis(p: jax.Array, axis: int, phase_axis_stride: int,
     return jnp.concatenate(top + [p] + bot, axis=axis)
 
 
-def head_conv_phase(p: jax.Array, k7: jax.Array) -> jax.Array:
+def head_conv_phase(
+    p: jax.Array, k7: jax.Array, emit_phase: bool = False
+) -> jax.Array:
     """Exact ``reflect-pad(3); 7x7 VALID conv`` of the full-res map
     represented by phase tensor ``p`` [B, h, w, 4*Cin] with kernel ``k7``
     [7, 7, Cin, Cout]; returns the FULL-RES output [B, 2h, 2w, Cout]
-    (no bias, no cast).
+    (no bias, no cast), or the aligned PHASE tensor [B, h, w, 4*Cout]
+    when ``emit_phase`` (for a phase-aware consumer, e.g. the stem ->
+    first-downsample chain: the full-res map is then never built).
     """
     h, w = p.shape[1:3]
     cin, cout = k7.shape[2], k7.shape[3]
@@ -221,4 +225,47 @@ def head_conv_phase(p: jax.Array, k7: jax.Array) -> jax.Array:
         ppad, kp, (1, 1), "VALID", dimension_numbers=_DN
     )  # [B, h+1, w+1, 4*Cout]
     aligned = _align_phases(win, h, w)
-    return depth_to_space2(aligned)
+    return aligned if emit_phase else depth_to_space2(aligned)
+
+
+# ---------------------------------------------------------------------
+# reflect-pad(1) + 3x3 stride-2 conv over a phase-form input
+# ---------------------------------------------------------------------
+
+def build_down_kernel(k3: jax.Array) -> jax.Array:
+    """[3, 3, Cin, Cout] -> [2, 2, 4*Cin, Cout] phase window kernel for a
+    stride-2 conv consuming a phase tensor.
+
+    The stride-2 output at coarse (i, j) reads full-res rows
+    2i-1 .. 2i+1 (after reflect-pad(1)). Coarse tap a in a 2x2 window
+    anchored at coarse row i-1 holds, at input phase pi_r, full row
+    2(i-1+a) + pi_r = 2i + (2a + pi_r - 2), i.e. kernel row
+    r = 2a + pi_r - 1 (r = -1 for (a=0, pi_r=0): zero weight).
+    """
+    cin, cout = k3.shape[2], k3.shape[3]
+    kpad = jnp.pad(k3, ((1, 0), (1, 0), (0, 0), (0, 0)))  # idx r+1 in [0,4)
+    a = np.arange(2)
+    pi = np.arange(2)
+    idx = jnp.asarray(2 * a[:, None] + pi[None, :])  # [a, pi] in [0, 3]
+    kp = kpad[idx]  # [2, 2, 4, cin, cout]   (a, pi_r, padded col, ci, co)
+    kp = jnp.moveaxis(kp, 2, 0)[idx]  # [2, 2, 2, 2, cin, cout]
+    kp = jnp.moveaxis(kp, (0, 1), (2, 3))  # [a, pi_r, b, pi_c, ci, co]
+    kp = kp.transpose(0, 2, 1, 3, 4, 5)  # [a, b, pi_r, pi_c, ci, co]
+    return kp.reshape(2, 2, 4 * cin, cout)
+
+
+def down2x_conv_phase(p: jax.Array, k3: jax.Array) -> jax.Array:
+    """Exact ``reflect-pad(1); 3x3 stride-2 VALID conv`` of the full-res
+    map represented by phase tensor ``p`` [B, h, w, 4*Cin] with kernel
+    ``k3`` [3, 3, Cin, Cout]; returns [B, h, w, Cout] (no bias, no cast).
+
+    Border rule: the stride-2 output only ever reads one pad row/col at
+    the top/left; full-res reflect-pad(1) there is f[-1] = f[1], which is
+    the pr=1 block of coarse row 0 — exactly what EDGE-padding the phase
+    tensor supplies (the pr=0 block of the pad row has zero weight).
+    """
+    kp = build_down_kernel(k3).astype(p.dtype)
+    ppad = jnp.pad(p, ((0, 0), (1, 0), (1, 0), (0, 0)), mode="edge")
+    return lax.conv_general_dilated(
+        ppad, kp, (1, 1), "VALID", dimension_numbers=_DN
+    )  # [B, h, w, Cout]

@@ -40,6 +40,11 @@ class Renderer:
     params: dict
     config: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     time_bucket: int = 32  # frames per compiled chunk
+    # Extra XLA options shipped with every compile request (reach the
+    # remote TPU compiler, unlike env flags). None = backend defaults.
+    # Perf probes use e.g. {"xla_tpu_run_space_to_batch": False} — see
+    # tools/mfu_probe.py --compiler-options.
+    compiler_options: Optional[dict] = None
 
     @staticmethod
     def create(
@@ -51,6 +56,7 @@ class Renderer:
         n_blocks: int = 9,
         dtype=jnp.bfloat16,
         phase_form: bool = True,
+        compiler_options: Optional[dict] = None,
     ) -> "Renderer":
         """Random-init renderer (weights come from training/checkpoints).
 
@@ -62,36 +68,27 @@ class Renderer:
         labels = jnp.zeros((1, height, width, 3 * config.n_frames_ctx))
         prev = jnp.zeros((1, height, width, 3 * config.use_prev_frames))
         params = gen.init(jax.random.PRNGKey(seed), labels, prev, jnp.ones((1,)))
-        return Renderer(generator=gen, params=params, config=config)
+        return Renderer(generator=gen, params=params, config=config,
+                        compiler_options=compiler_options)
 
     # ------------------------------------------------------------------
 
     def init_carry(self, batch: int, height: int, width: int):
-        """(prev_imgs, prev_labels, step) scan carry for a fresh utterance."""
+        """(prev_imgs, prev_labels, step) scan carry for a fresh utterance.
+
+        Image/label state is kept in the GENERATOR's compute dtype
+        (bfloat16 in production): the generator casts its inputs there
+        anyway, so an f32 carry only doubled the per-frame carry-shuffle
+        HBM traffic without adding information (measured in
+        out/scan_profile_r4.json)."""
         cfg = self.config
+        dt = self.generator.dtype
         return (
-            jnp.zeros((batch, height, width, 3 * cfg.use_prev_frames),
-                      jnp.float32),
+            jnp.zeros((batch, height, width, 3 * cfg.use_prev_frames), dt),
             jnp.zeros((batch, height, width, 3 * (cfg.n_frames_ctx - 1)),
-                      jnp.float32),
+                      dt),
             jnp.zeros((), jnp.int32),
         )
-
-    def _scan_step(self, params, carry, label):
-        prev_imgs, prev_labels, step = carry
-        labels_ctx = jnp.concatenate([label, prev_labels], axis=-1)
-        has_prev = jnp.broadcast_to(
-            (step > 0).astype(jnp.float32), (label.shape[0],)
-        )
-        frame, _, _ = self.generator.apply(
-            params, labels_ctx, prev_imgs, has_prev
-        )
-        frame = frame.astype(prev_imgs.dtype)
-        new_prev_imgs = jnp.concatenate([frame, prev_imgs[..., :-3]], axis=-1)
-        new_prev_labels = jnp.concatenate(
-            [label, prev_labels[..., :-3]], axis=-1
-        )
-        return (new_prev_imgs, new_prev_labels, step + 1), frame
 
     def target_hw(self, h: int, w: int):
         """GAN working resolution for a (h, w) canvas: scaleHeight to
@@ -105,8 +102,17 @@ class Renderer:
         return h2, w2
 
     def _scan_chunk(self, params, labels, carry):
-        """labels: [B, chunk, H, W, 3] in [-1,1] -> (frames f32 [-1,1],
-        carry). Labels resize on device to the working resolution first."""
+        """labels: [B, chunk, H, W, 3] in [-1,1] -> (frames [-1,1] in the
+        generator dtype, carry). Labels resize on device to the working
+        resolution first.
+
+        The label-context window (current + n_frames_ctx-1 previous label
+        maps) is assembled for the WHOLE chunk before the scan: the scan
+        body then neither concatenates label context nor carries
+        prev_labels frame to frame — that was ~9 MB of f32 HBM traffic
+        per frame for data that is known chunk-wide up front
+        (out/scan_profile_r4.json). Identical values reach the generator;
+        only the schedule changes."""
         b, c, h, w, _ = labels.shape
         h2, w2 = self.target_hw(h, w)
         labels = labels.astype(jnp.float32)
@@ -114,18 +120,53 @@ class Renderer:
             labels = jax.image.resize(
                 labels, (b, c, h2, w2, 3), method="linear"
             )
-        labels_t = jnp.moveaxis(labels, 1, 0)
+        prev_imgs, prev_labels, step = carry
+        dt = self.generator.dtype
+        lab_t = jnp.moveaxis(labels, 1, 0).astype(dt)  # [C, B, H', W', 3]
 
-        def step_fn(c, lab):
-            return self._scan_step(params, c, lab)
+        n_ctx = self.config.n_frames_ctx
+        if c < n_ctx - 1:
+            raise ValueError(
+                f"chunk of {c} frames < n_frames_ctx-1 ({n_ctx - 1})"
+            )
+        ctx = [lab_t]
+        for k in range(1, n_ctx):
+            # shifted_k[i] = label of frame i-k; frames before the chunk
+            # come from the carry (prev_labels[..., 3m:3m+3] = frame -1-m).
+            head = [
+                prev_labels[None, ..., 3 * (k - i - 1) : 3 * (k - i)]
+                for i in range(k)
+            ]
+            ctx.append(jnp.concatenate(head + [lab_t[: c - k]], axis=0))
+        labels_ctx_t = jnp.concatenate(ctx, axis=-1)
 
-        carry, frames = jax.lax.scan(step_fn, carry, labels_t)
-        return jnp.moveaxis(frames, 0, 1), carry  # [B, chunk, H, W, 3]
+        steps = step + jnp.arange(c)
+        has_prev_t = jnp.broadcast_to(
+            (steps > 0).astype(jnp.float32)[:, None], (c, b)
+        )
+
+        def step_fn(prev, xs):
+            lab_ctx, hp = xs
+            frame, _, _ = self.generator.apply(params, lab_ctx, prev, hp)
+            frame = frame.astype(dt)
+            new_prev = jnp.concatenate([frame, prev[..., :-3]], axis=-1)
+            return new_prev, frame
+
+        prev_imgs, frames = jax.lax.scan(
+            step_fn, prev_imgs.astype(dt), (labels_ctx_t, has_prev_t)
+        )
+        new_prev_labels = jnp.concatenate(
+            [lab_t[c - 1 - m] for m in range(n_ctx - 1)], axis=-1
+        )
+        carry = (prev_imgs, new_prev_labels, step + c)
+        return jnp.moveaxis(frames, 0, 1), carry  # [B, chunk, H', W', 3]
 
     def _render_chunk_impl(self, params, labels, carry):
         frames, carry = self._scan_chunk(params, labels, carry)
+        # uint8 quantization in f32 (the cast fuses into this pass; bf16
+        # ulp at 255 is 1, which would dither the low bit).
         frames_u8 = jnp.clip(
-            (frames + 1.0) * 127.5, 0.0, 255.0
+            (frames.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0
         ).astype(jnp.uint8)
         return frames_u8, carry
 
@@ -148,7 +189,8 @@ class Renderer:
     def _jacobi_sweep(self):
         fn = getattr(self, "_jacobi_sweep_cache", None)
         if fn is None:
-            fn = jax.jit(self._jacobi_sweep_impl)
+            fn = jax.jit(self._jacobi_sweep_impl,
+                         compiler_options=self.compiler_options)
             object.__setattr__(self, "_jacobi_sweep_cache", fn)
         return fn
 
@@ -356,7 +398,8 @@ class Renderer:
     def _cached_jit(self, name: str, impl):
         fn = getattr(self, name, None)
         if fn is None:
-            fn = jax.jit(impl, donate_argnums=(2,))
+            fn = jax.jit(impl, donate_argnums=(2,),
+                         compiler_options=self.compiler_options)
             object.__setattr__(self, name, fn)
         return fn
 

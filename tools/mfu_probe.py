@@ -74,7 +74,8 @@ def main() -> None:
 
     h, w = args.height, args.width
     renderer = Renderer.create(
-        height=h, width=w, phase_form=not args.no_phase
+        height=h, width=w, phase_form=not args.no_phase,
+        compiler_options=copts,
     )
     cfg = renderer.config
     frame_flops = _analytic_frame_flops(h, w)

@@ -66,9 +66,31 @@ def conv_layer(name, b, h, w, cin, cout, k, stride=1, norm=True,
 
 def generator_layers(b, h, w, base_ch=64, n_down=3, n_blocks=9,
                      label_ch=9, prev_ch=6, phase_form=False):
-    layers = [conv_layer("stem7x7", b, h, w, label_ch + prev_ch, base_ch, 7)]
-    ch, hh, ww = base_ch, h, w
-    for i in range(n_down):
+    cin = label_ch + prev_ch
+    if phase_form:
+        # Phase-form stem (round 4b): the 7x7 full-res conv runs as a
+        # 4x4 window conv over space_to_depth(input) at half res with
+        # 4*base_ch stacked outputs, and the first stride-2 downsample
+        # consumes the phase tensor directly (2x2 window, 4*base_ch in)
+        # — the [B, H, W, 64] map is never materialised.
+        hp, wp = h // 2, w // 2
+        useful = 2.0 * b * h * w * (cin * 49) * base_ch
+        layers = [conv_layer(
+            "stem7x7p", b, hp, wp, 4 * cin, 4 * base_ch, 4,
+            m=b * (hp + 1) * (wp + 1), useful_flops=useful,
+        )]
+        useful0 = 2.0 * b * hp * wp * (base_ch * 9) * (2 * base_ch)
+        layers.append(conv_layer(
+            "down0p", b, hp, wp, 4 * base_ch, 2 * base_ch, 2,
+            m=b * hp * wp, useful_flops=useful0,
+        ))
+        ch, hh, ww = 2 * base_ch, hp, wp
+        down_range = range(1, n_down)
+    else:
+        layers = [conv_layer("stem7x7", b, h, w, cin, base_ch, 7)]
+        ch, hh, ww = base_ch, h, w
+        down_range = range(n_down)
+    for i in down_range:
         layers.append(conv_layer(f"down{i}", b, hh, ww, ch, 2 * ch, 3, 2))
         ch, hh, ww = 2 * ch, hh // 2, ww // 2
     for i in range(n_blocks):
