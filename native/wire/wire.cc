@@ -71,35 +71,64 @@ void decode_plane(const int8_t* coeffs, int nb_y, int nb_x, int k,
 }
 
 // ---- bit writer for the JPEG entropy segment --------------------------
+//
+// Writes into a caller-provided raw buffer (the caller bounds capacity
+// with the 160-bytes-per-block worst case before encoding a frame).
+// Bits accumulate in a 64-bit register and leave four bytes at a time;
+// the stuffing check runs once per word on the no-0xff fast path
+// (encoding is the host-side cost of every streamed frame — see
+// StreamingMuxer — and the byte-at-a-time writer was ~38 ns/byte).
 
 struct BitWriter {
-  std::vector<uint8_t>* out;
-  uint32_t buf = 0;
+  uint8_t* p;
+  uint64_t buf = 0;
   int nbits = 0;
 
-  void put(uint32_t bits, int n) {
+  inline void put(uint32_t bits, int n) {
     buf = (buf << n) | (bits & ((1u << n) - 1u));
     nbits += n;
-    while (nbits >= 8) {
-      uint8_t b = static_cast<uint8_t>((buf >> (nbits - 8)) & 0xff);
-      out->push_back(b);
-      if (b == 0xff) out->push_back(0x00);  // byte stuffing
-      nbits -= 8;
+    if (nbits >= 32) {
+      uint32_t v = static_cast<uint32_t>(buf >> (nbits - 32));
+      // any byte == 0xff?  (x ^ ~0) has a zero byte iff x has an 0xff.
+      uint32_t x = ~v;
+      if (((x - 0x01010101u) & ~x & 0x80808080u) == 0) {
+        p[0] = static_cast<uint8_t>(v >> 24);
+        p[1] = static_cast<uint8_t>(v >> 16);
+        p[2] = static_cast<uint8_t>(v >> 8);
+        p[3] = static_cast<uint8_t>(v);
+        p += 4;
+      } else {
+        for (int i = 3; i >= 0; --i) {
+          uint8_t b = static_cast<uint8_t>((v >> (8 * i)) & 0xff);
+          *p++ = b;
+          if (b == 0xff) *p++ = 0x00;  // byte stuffing
+        }
+      }
+      nbits -= 32;
+      buf &= (1ull << nbits) - 1ull;
     }
   }
   void flush() {
-    if (nbits > 0) put(0x7f, 8 - nbits);  // pad with 1s
+    while (nbits >= 8) {
+      uint8_t b = static_cast<uint8_t>((buf >> (nbits - 8)) & 0xff);
+      *p++ = b;
+      if (b == 0xff) *p++ = 0x00;
+      nbits -= 8;
+    }
+    if (nbits > 0) {
+      uint8_t b = static_cast<uint8_t>(
+          ((buf << (8 - nbits)) | ((1u << (8 - nbits)) - 1u)) & 0xff);
+      *p++ = b;  // pad with 1s
+      if (b == 0xff) *p++ = 0x00;
+      nbits = 0;
+    }
+    buf = 0;
   }
 };
 
 inline int bit_size(int v) {
-  int a = v < 0 ? -v : v;
-  int s = 0;
-  while (a) {
-    ++s;
-    a >>= 1;
-  }
-  return s;
+  unsigned a = static_cast<unsigned>(v < 0 ? -v : v);
+  return a ? 32 - __builtin_clz(a) : 0;
 }
 
 // Fixed-length canonical Huffman codes: DC symbols 0..11 at 4 bits
@@ -128,7 +157,7 @@ const AcTable& ac_table() {
   return t;
 }
 
-void encode_block(BitWriter& bw, const int* z /*64 zigzag ints*/, int k,
+void encode_block(BitWriter& bw, const int* z /*>=k zigzag ints*/, int k,
                   int& dc_pred) {
   // DC: 4-bit category code + category bits.
   int diff = z[0] - dc_pred;
@@ -137,7 +166,9 @@ void encode_block(BitWriter& bw, const int* z /*64 zigzag ints*/, int k,
   bw.put(static_cast<uint32_t>(s), 4);
   if (s) bw.put(static_cast<uint32_t>(diff < 0 ? diff + (1 << s) - 1 : diff), s);
   // AC: run-length + 8-bit (run,size) symbol + bits; EOB after the last
-  // nonzero (the wire truncation guarantees everything past k is zero).
+  // nonzero. k is the WIRE truncation length — everything past it is
+  // zero by construction, so the scan stops there (scanning all 64
+  // slots cost ~400k wasted iterations per frame at k=12/6).
   const AcTable& t = ac_table();
   int last = 0;
   for (int i = 1; i < k; ++i)
@@ -183,7 +214,8 @@ const float kYDcOffset = 8.0f * (kYScale * 128.0f - 16.0f * kYScale - 128.0f);
 // (zigzag-ordered steps); out: 64 ints.
 void requant_block(const int8_t* zq, int k, const float* qz, float scale,
                    float dc_offset, int* out) {
-  std::memset(out, 0, 64 * sizeof(int));
+  // Only out[0..k) is ever read back (encode_block bounds its AC scan
+  // at the wire truncation length), so no tail zeroing is needed.
   for (int i = 0; i < k; ++i) {
     float f = static_cast<float>(zq[i]) * qz[i] * scale;
     if (i == 0) f += dc_offset;
@@ -260,9 +292,10 @@ int64_t t2v_wire_to_jpeg(const int8_t* yc, const int8_t* uc, const int8_t* vc,
   const int64_t yblk = static_cast<int64_t>(yhb) * ywb * kl;
   const int64_t cblk = static_cast<int64_t>(chb) * cwb * kc;
   int64_t total = 0;
+  // Header bytes are identical for every frame — build once, memcpy per
+  // frame; only the entropy segment is re-encoded.
   std::vector<uint8_t> frame;
-  for (int f = 0; f < n; ++f) {
-    frame.clear();
+  {
     put_marker(frame, 0xd8);  // SOI
     for (int t = 0; t < 2; ++t) {  // DQT x2
       put_marker(frame, 0xdb);
@@ -304,8 +337,20 @@ int64_t t2v_wire_to_jpeg(const int8_t* yc, const int8_t* uc, const int8_t* vc,
     frame.push_back(0);
     frame.push_back(63);
     frame.push_back(0);
-
-    BitWriter bw{&frame};
+  }
+  // Exact worst case per frame (the raw writer has no per-byte bounds
+  // checks): a block emits at most 15 DC + 18*k AC bits, and byte
+  // stuffing can at most double the bytes.
+  auto worst_block = [](int k) { return 2 * ((15 + 18 * k + 7) / 8); };
+  const int64_t frame_cap =
+      static_cast<int64_t>(mcuy) * mcux *
+          (4 * worst_block(kl) + 2 * worst_block(kc)) +
+      static_cast<int64_t>(frame.size()) + 8;
+  for (int f = 0; f < n; ++f) {
+    if (total + frame_cap > cap) return -1;
+    uint8_t* fp = out + total;
+    std::memcpy(fp, frame.data(), frame.size());
+    BitWriter bw{fp + frame.size()};
     int dc[3] = {0, 0, 0};
     int z[64];
     const int8_t* yf = yc + f * yblk;
@@ -320,24 +365,23 @@ int64_t t2v_wire_to_jpeg(const int8_t* yc, const int8_t* uc, const int8_t* vc,
             if (bx >= ywb) bx = ywb - 1;
             requant_block(yf + (static_cast<int64_t>(by) * ywb + bx) * kl,
                           kl, lqzf, kYScale, kYDcOffset, z);
-            encode_block(bw, z, 64, dc[0]);
+            encode_block(bw, z, kl, dc[0]);
           }
         }
         int cy = my >= chb ? chb - 1 : my, cx = mx >= cwb ? cwb - 1 : mx;
         requant_block(uf + (static_cast<int64_t>(cy) * cwb + cx) * kc, kc,
                       cqzf, kCScale, 0.0f, z);
-        encode_block(bw, z, 64, dc[1]);
+        encode_block(bw, z, kc, dc[1]);
         requant_block(vf + (static_cast<int64_t>(cy) * cwb + cx) * kc, kc,
                       cqzf, kCScale, 0.0f, z);
-        encode_block(bw, z, 64, dc[2]);
+        encode_block(bw, z, kc, dc[2]);
       }
     }
     bw.flush();
-    put_marker(frame, 0xd9);  // EOI
-    if (total + static_cast<int64_t>(frame.size()) > cap) return -1;
-    std::memcpy(out + total, frame.data(), frame.size());
-    sizes[f] = static_cast<int64_t>(frame.size());
-    total += static_cast<int64_t>(frame.size());
+    *bw.p++ = 0xff;  // EOI
+    *bw.p++ = 0xd9;
+    sizes[f] = static_cast<int64_t>(bw.p - fp);
+    total += sizes[f];
   }
   return total;
 }

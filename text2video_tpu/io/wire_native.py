@@ -130,10 +130,12 @@ def to_jpegs(
     )
     lqf = np.ascontiguousarray(lq, dtype=np.float32).reshape(-1)
     cqf = np.ascontiguousarray(cq, dtype=np.float32).reshape(-1)
-    # Capacity bound: fixed-length symbols cap a block's entropy bytes
-    # well under 160; headers are ~700 bytes.
-    blocks = yhb * ywb + 2 * chb * cwb
-    cap = n * (blocks * 160 + 2048)
+    # Capacity bound mirrors the encoder's exact worst case (fixed-length
+    # symbols: <=15 DC + 18*k AC bits per block, stuffing can double the
+    # bytes); MCU-derived block counts cover edge-clamped odd grids.
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    wb = lambda k: 2 * ((15 + 18 * k + 7) // 8)  # noqa: E731
+    cap = n * (mcuy * mcux * (4 * wb(kl) + 2 * wb(kc)) + 2048)
     out = np.empty(cap, np.uint8)
     sizes = np.zeros(n, np.int64)
     total = lib.t2v_wire_to_jpeg(
