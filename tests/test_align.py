@@ -264,11 +264,19 @@ def test_align_golden_shehadyour(fadg0_setup):
     # Identical phone sequence (incl. the "your" = Y UH1 R variant the
     # reference chose) and sub-frame mean agreement: word-supervised
     # training (fixture) recovers the reference's segmentation
-    # convention. Measured mean 0.5: the residual is symmetric +-1-frame
-    # boundary disagreement (20-40 ms) that no capacity knob moves
-    # (tools/align_ratchet_probe.py sweep), plus exactly two off-by-3
-    # boundaries at the "in greasy" nasal closure — a genuinely ambiguous
-    # segmentation the golden labels later than every model we trained.
+    # convention. The residual floor is MEASURED, not hypothesized
+    # (tools/align_floor_probe.py, out/align_floor_probe.json): the
+    # golden words/*.txt files expose the reference's raw Viterbi cut
+    # times, and our clean word-word junctions land within one 10 ms
+    # step of them except at pause-adjacent ambiguities (the "in
+    # greasy" closure is the 230 ms outlier — the golden attributes the
+    # closure to "in"); Monte-Carlo'ing phone-midpoint rounding under
+    # the IDEAL +-1-step boundary noise predicts mean frame error
+    # 0.111, and under the measured junction distribution 0.856 — the
+    # observed means (0.286/0.618/0.371) sit inside that band, and the
+    # capacity sweep is flat (tools/align_ratchet_probe.py), so the
+    # residual is boundary-grid/segmentation-convention noise, not
+    # model capacity.
     assert [p for _, p in golden] == [p for _, p in ours]
     err = [abs(f1 - f2) for (f1, _), (f2, _) in zip(golden, ours)]
     assert np.mean(err) <= 0.75, err

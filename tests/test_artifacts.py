@@ -102,3 +102,20 @@ def test_training_log_artifact_is_finite_gan_evidence(name):
         d, g = float(m.group(1)), float(m.group(2))
         assert d == d and abs(d) < 1e4, l  # finite, sane
         assert g == g and abs(g) < 1e4, l
+
+
+def test_measured_docs_in_sync():
+    """README/PARITY headline performance numbers must equal a fresh
+    regeneration from the committed measurement JSONs
+    (artifacts/bench/*.json) — stale docs fail the suite
+    (tools/update_measured_docs.py --check)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "update_measured_docs.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr

@@ -199,7 +199,22 @@ def test_jacobi_decode_pipeline(tmp_path):
     """decode_mode="jacobi" drives the full pipeline: the streaming wire
     + muxer path and the keep_arrays path both work, and the array path
     agrees with the exact scan at high sweep counts (convergence math in
-    tests/test_render_jacobi.py)."""
+    tests/test_render_jacobi.py).
+
+    Equivalence is asserted on the pre-saturation PREFIX: the scan and
+    Jacobi recurrences are algorithmically identical (manual emulations
+    are bit-equal, tools/jacobi_bisect_probe.py), but two
+    differently-compiled programs of the same generator differ per
+    forward (~1e-6 relative in f32, up to ~0.07 in bf16 —
+    tools/jacobi_bisect2.py) and a RANDOM-weight warp recurrence is
+    chaotic: the difference grows ~3.5x/frame until it saturates
+    (measured f32 frame maxes 0,1,1,1,7,25,72,... on this exact
+    configuration). So the renderer runs in f32 (smallest seed noise)
+    and the tight assertion covers the first 6 frames (measured
+    52.3 dB), with a loose full-clip floor (measured 26.9 dB); trained
+    weights amplify far less (42 dB at 2 sweeps over full clips,
+    tools/jacobi_quality.py). test_jacobi_bf16_divergence_bounded
+    bounds the production-dtype case."""
     import dataclasses
 
     import cv2
@@ -216,11 +231,14 @@ def test_jacobi_decode_pipeline(tmp_path):
     ts = load_timestamp_file(
         f"{REFERENCE_DIR}/input_timestamp/fadg0/phones/Dotheymake.txt"
     )
+    import jax.numpy as jnp
+
     renderer = Renderer.create(
         config=RenderConfig(
             load_size=128, decode_mode="jacobi", jacobi_sweeps=2
         ),
         height=128, width=192, base_ch=4, n_blocks=1,
+        dtype=jnp.float32,
     )
     pipe = Text2VideoPipeline(
         PipelineConfig(person=get_profile("fadg0"), out_dir=str(tmp_path)),
@@ -252,9 +270,45 @@ def test_jacobi_decode_pipeline(tmp_path):
         ts, "scan_arr", audio=np.zeros(16000, np.float32), keep_arrays=True
     )
     assert run_j.frames.shape == run_s.frames.shape
-    mse = np.mean(
-        (run_j.frames.astype(np.float64) - run_s.frames.astype(np.float64))
-        ** 2
+
+    def _psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+    diff = np.abs(run_j.frames.astype(int) - run_s.frames.astype(int))
+    assert diff[:4].max() <= 3, diff[:4].max()  # measured <= 1
+    p6 = _psnr(run_j.frames[:6], run_s.frames[:6])
+    assert p6 >= 45.0, p6  # measured 52.3
+    pfull = _psnr(run_j.frames, run_s.frames)
+    assert pfull >= 24.0, pfull  # measured 26.9 (chaos-saturated tail)
+
+
+def test_jacobi_bf16_divergence_bounded():
+    """Production-dtype (bfloat16) scan vs Jacobi at full sweeps: the
+    divergence is compile-level rounding amplified by the recurrence
+    (see test_jacobi_decode_pipeline docstring). This pins the two
+    structural guarantees that hold regardless: the early prefix is
+    uint8-tight (the amplification needs frames to compound), and the
+    whole-clip error stays bounded even on worst-case random weights —
+    trained weights measure 42 dB at 2 sweeps (tools/jacobi_quality.py,
+    README measured table)."""
+    from text2video_tpu.config import RenderConfig
+    from text2video_tpu.render import Renderer
+
+    rng = np.random.RandomState(0)
+    t = 18
+    labels = rng.randint(0, 256, size=(t, 128, 192, 3), dtype=np.uint8)
+    r = Renderer.create(
+        config=RenderConfig(load_size=128),
+        height=128, width=192, base_ch=4, n_blocks=1,
     )
+    r.time_bucket = 32
+    seq = r.render(labels)
+    jac = r.render_jacobi(labels, sweeps=t)
+    diff = np.abs(seq.astype(int) - jac.astype(int))
+    # measured: frames 0-2 exact to 1 level (tools/jacobi_divergence_probe.py)
+    assert diff[:3].max() <= 3, diff[:3].max()
+    mse = np.mean((seq.astype(np.float64) - jac.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
-    assert psnr >= 30.0, psnr
+    # measured 23.3 dB on this seed; bound loosely (random-weight worst case)
+    assert psnr >= 18.0, psnr

@@ -81,6 +81,35 @@ def test_render_from_device_chunks_matches_host_path():
     np.testing.assert_array_equal(via_host, via_device)
 
 
+def test_render_from_device_chunks_short_chunks():
+    """External callers may hand arbitrary chunk lists — a short FINAL
+    chunk (fewer than n_frames_ctx-1 frames) pads internally, and a
+    short MID-STREAM chunk re-chunks via the exact concat fallback
+    (render.py::_normalize_chunks); neither raises, both reproduce the
+    whole-timeline render."""
+    r = _tiny_renderer()
+    r.time_bucket = 4
+    rng = np.random.RandomState(7)
+    labels = rng.randint(0, 256, size=(9, 32, 32, 3), dtype=np.uint8)
+    via_host = r.render(labels)
+
+    # short final chunk: 4 + 4 + 1
+    chunks = [jnp.asarray(labels[0:4]), jnp.asarray(labels[4:8]),
+              jnp.asarray(labels[8:9])]
+    out = r.render_from_device_chunks(chunks, 9)
+    np.testing.assert_array_equal(via_host, out)
+
+    # short mid-stream chunk: 3 + 1 + 5 -> concat fallback
+    chunks = [jnp.asarray(labels[0:3]), jnp.asarray(labels[3:4]),
+              jnp.asarray(labels[4:9])]
+    out = r.render_from_device_chunks(chunks, 9)
+    np.testing.assert_array_equal(via_host, out)
+
+    # 1-frame utterance
+    out1 = r.render_from_device_chunks([jnp.asarray(labels[:1])], 1)
+    np.testing.assert_array_equal(r.render(labels[:1]), out1)
+
+
 def test_render_load_size_scale_height():
     """RenderConfig.load_size resizes labels to the GAN's working height
     (the reference's --resize_or_crop scaleHeight --loadSize)."""

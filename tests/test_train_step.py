@@ -283,3 +283,30 @@ def test_safe_grad_accum_hazard_rule():
     # Non-power-of-two batches still land on a divisor.
     acc3 = safe_grad_accum(big, 3, 8)
     assert 3 % acc3 == 0 and (3 // acc3) * 8 <= 16
+
+
+def test_mouth_l1_anchor_active_and_lowers_mouth_error():
+    """--l1-mouth adds a mouth-crop L1 (the eval_gan 96px region): the
+    metric reports it, it contributes gradient, and a few steps of
+    mouth-only objective reduce the mouth-crop error."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, lambda_adv=0.0, lambda_l1=0.0, lambda_flow=0.0,
+        lambda_l1_mouth=10.0,
+    )
+    state = create_trainer_state(cfg)
+    step = jax.jit(make_train_step(cfg))
+    batch = _batch()
+    m0 = None
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["g_mouth_l1"]))
+        if m0 is None:
+            m0 = float(metrics["g_mouth_l1"])
+    assert float(metrics["g_mouth_l1"]) < m0, (m0, float(metrics["g_mouth_l1"]))
+
+    # off by default: metric present but exactly zero
+    state0 = create_trainer_state(CFG)
+    _, metrics0 = jax.jit(make_train_step(CFG))(state0, batch)
+    assert float(metrics0["g_mouth_l1"]) == 0.0

@@ -169,3 +169,75 @@ def test_render_stream_dct_odd_chroma():
     assert y.shape == (4, h, w)
     assert u.shape == (4, h // 2, w // 2)
     assert v.shape == (4, h // 2, w // 2)
+
+
+def test_pack_plane_shift_roundtrip_exact():
+    """Bit-pack -> unpack is exactly the shift-round-unshift model (DC
+    exact, ACs rounded to the block's 2-bit shift), at the documented
+    byte count (ops/dct.py::pack_plane_shift)."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2video_tpu.ops.dct import (
+        W_AC_CHROMA,
+        W_AC_LUMA,
+        pack_plane_shift,
+        packed_plane_bytes,
+        unpack_plane_shift_np,
+    )
+
+    rng = np.random.RandomState(0)
+    for shape, w in [((3, 8, 8, 12), W_AC_LUMA), ((2, 4, 4, 6), W_AC_CHROMA),
+                     ((1, 5, 7, 12), 5)]:
+        k = shape[-1]
+        coeffs = rng.randint(-127, 128, size=shape).astype(np.int8)
+        packed = np.asarray(
+            jax.jit(lambda c, w=w: pack_plane_shift(c, w))(
+                jnp.asarray(coeffs)
+            )
+        )
+        n_blocks = int(np.prod(shape[:-1]))
+        assert packed.size == packed_plane_bytes(n_blocks, k, w)
+        assert packed.size < coeffs.size  # it actually packs
+        un = unpack_plane_shift_np(packed, shape, w)
+        flat = coeffs.reshape(-1, k).astype(np.int32)
+        lim = (1 << (w - 1)) - 1
+        m = np.abs(flat[:, 1:]).max(1)
+        s = np.ceil(
+            np.log2(np.maximum(m, 1.0) / lim)
+        ).clip(0, 3).astype(np.int32)
+        half = np.where(s > 0, 1 << np.maximum(s - 1, 0), 0)
+        ac = np.clip(
+            (flat[:, 1:] + half[:, None]) >> s[:, None], -lim - 1, lim
+        ) << s[:, None]
+        exp = np.concatenate([flat[:, :1], ac], 1).reshape(shape)
+        np.testing.assert_array_equal(un.astype(np.int32), exp)
+
+
+def test_render_stream_packed_wire_matches_unpacked():
+    """config.wire_packed only changes the wire encoding: the streamed
+    planes match the raw-int8 wire within the shift-rounding bound."""
+    import jax.numpy as jnp
+
+    from text2video_tpu.config import RenderConfig
+    from text2video_tpu.render import Renderer
+
+    h, w = 64, 64
+    rng = np.random.RandomState(1)
+    labels = jnp.asarray(
+        rng.randint(0, 256, size=(8, h, w, 3), dtype=np.uint8)
+    )
+    outs = {}
+    for packed in (False, True):
+        r = Renderer.create(
+            config=RenderConfig(wire_format="dct", wire_packed=packed),
+            height=h, width=w, base_ch=4, n_blocks=1,
+        )
+        r.time_bucket = 4
+        ys = np.concatenate([
+            o[0] for o in r.render_stream_yuv([labels[:4], labels[4:]], 8)
+        ])
+        outs[packed] = ys
+    assert outs[True].shape == outs[False].shape
+    # random-init output is codec worst case; real clips measure -0.5 dB
+    assert _psnr(outs[True], outs[False]) > 30.0

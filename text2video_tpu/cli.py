@@ -360,6 +360,7 @@ def cmd_train_gan(args) -> int:
         base_ch=args.base_ch,
         use_vgg=use_vgg,
         lambda_l1=args.l1,
+        lambda_l1_mouth=args.l1_mouth,
         aug_jitter_px=args.aug_jitter,
         aug_drop_prob=args.aug_drop,
         aug_face_drop_prob=args.aug_face_drop,
@@ -593,6 +594,10 @@ def main(argv=None) -> int:
                    help="L1(fake, real) weight; the measured-best offline "
                    "recipe (README ablation). 0 = vid2vid-faithful "
                    "(use with --vgg-weights)")
+    p.add_argument("--l1-mouth", type=float, default=0.0,
+                   help="extra L1 on the 96px mouth crop (the region "
+                   "tools/eval_gan.py scores) — anchors lip fidelity "
+                   "through the adversarial phase")
     p.add_argument("--split", choices=["train", "all"], default="train",
                    help="'train' (default) reserves a deterministic "
                    "held-out tail for honest evaluation "

@@ -166,6 +166,12 @@ class RenderConfig:
     wire_quality: int = 75
     wire_k_luma: int = 12
     wire_k_chroma: int = 6
+    # Bit-pack the dct wire with a per-block 2-bit AC shift (ops/dct.py
+    # ::pack_plane_shift): 67% of the int8 wire bytes at -0.5 dB on the
+    # sharpest committed clip (measured in the ops/dct.py packing
+    # docstring). The e2e wall clock is transfer-bound, so this is wall
+    # seconds; disable to ship raw int8 coefficients.
+    wire_packed: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

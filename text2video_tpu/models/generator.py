@@ -69,6 +69,7 @@ class GlobalTrunk(nn.Module):
     dtype: Dtype = jnp.bfloat16
     phase_form: bool = False
     emit_phase_last: bool = False
+    fused_resblocks: bool = False
 
     @nn.compact
     def __call__(self, labels: jax.Array, prev_imgs: jax.Array) -> jax.Array:
@@ -98,7 +99,8 @@ class GlobalTrunk(nn.Module):
                 from_phase=phase_stem and i == 0,
             )(x)
         for _ in range(self.n_blocks):
-            x = ResBlock(ch, dtype=self.dtype)(x)
+            x = ResBlock(ch, dtype=self.dtype,
+                         fused=self.fused_resblocks)(x)
         for i in range(self.n_downsample):
             ch //= 2
             last = i == self.n_downsample - 1
@@ -139,6 +141,11 @@ class CompositeGenerator(nn.Module):
     # tools/roofline.py --phase-form). Kept as a flag so equality with
     # the plain path is testable (tests/test_phase_conv.py).
     phase_form: bool = True
+    # Run the residual stack through the fused Pallas conv+IN-stats
+    # kernel (ops/fused_resblock.py) — same parameters, bypasses XLA's
+    # batch-1 space-to-batch layout copies. Inference-path flag: the
+    # kernel defines no custom VJP, so training keeps the XLA convs.
+    fused_resblocks: bool = False
 
     @nn.compact
     def __call__(
@@ -166,6 +173,7 @@ class CompositeGenerator(nn.Module):
             dtype=dt,
             phase_form=self.phase_form,
             emit_phase_last=self.n_local_enhancers == 0,
+            fused_resblocks=self.fused_resblocks,
         )(pyramid_l[-1], pyramid_i[-1])
 
         for lvl in range(self.n_local_enhancers - 1, -1, -1):

@@ -98,22 +98,28 @@ class InstanceNorm(nn.Module):
     phase: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, stats=None) -> jax.Array:
         # f32-accumulating reductions WITHOUT materializing an f32 copy of
         # the activation (that copy doubled HBM traffic and dominated the
         # cost at full resolution); var = E[x^2] - E[x]^2 on O(1)-scale
         # activations is numerically fine.
+        #
+        # ``stats``: precomputed ([B, C] mean, [B, C] var) — the fused
+        # resblock kernel emits them from its f32 conv accumulator
+        # (ops/fused_resblock.py), so only the affine runs here.
         c = x.shape[-1] // self.phase
-        if self.phase > 1:
+        if stats is not None:
+            mean, var = stats
+        elif self.phase > 1:
             b, h, w, _ = x.shape
             xg = x.reshape(b, h, w, self.phase, c)
-            red = (1, 2, 3)
+            mean = jnp.mean(xg, axis=(1, 2, 3), dtype=jnp.float32)
+            m2 = jnp.mean(jnp.square(xg), axis=(1, 2, 3), dtype=jnp.float32)
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         else:
-            xg = x
-            red = (1, 2)
-        mean = jnp.mean(xg, axis=red, dtype=jnp.float32)  # [B, C]
-        m2 = jnp.mean(jnp.square(xg), axis=red, dtype=jnp.float32)
-        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            mean = jnp.mean(x, axis=(1, 2), dtype=jnp.float32)  # [B, C]
+            m2 = jnp.mean(jnp.square(x), axis=(1, 2), dtype=jnp.float32)
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         rstd = jax.lax.rsqrt(var + self.epsilon)
@@ -155,6 +161,11 @@ class ConvBlock(nn.Module):
     emit_phase: bool = False
     phase_stem: bool = False
     from_phase: bool = False
+    # Run the conv through the fused Pallas resblock kernel
+    # (ops/fused_resblock.py): one VMEM-resident pass emitting the conv
+    # output AND the IN statistics. Same parameters, same math (stats
+    # from the f32 accumulator); requires kernel=3, stride=1, norm.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -209,6 +220,15 @@ class ConvBlock(nn.Module):
             if self.act:
                 y = nn.relu(y)
             return y if self.emit_phase else depth_to_space2(y)
+        if self.fused:
+            if self.kernel != 3 or self.stride != 1 or not self.norm:
+                raise ValueError("fused requires kernel=3, stride=1, norm")
+            from text2video_tpu.ops.fused_resblock import conv3x3_stats
+
+            k, b = conv.weights()
+            y, mean, var = conv3x3_stats(x.astype(self.dtype), k, b)
+            y = InstanceNorm(dtype=self.dtype)(y, stats=(mean, var))
+            return nn.relu(y) if self.act else y
         x = reflect_pad(x, self.kernel // 2)
         x = conv(x)
         if self.norm:
@@ -219,15 +239,23 @@ class ConvBlock(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """Two 3x3 reflect-padded convs with a residual skip (pix2pixHD-style)."""
+    """Two 3x3 reflect-padded convs with a residual skip (pix2pixHD-style).
+
+    ``fused`` routes both convs through the Pallas fused conv+IN-stats
+    kernel (ops/fused_resblock.py) — identical parameters and math, one
+    VMEM-resident pass per conv instead of XLA's space-to-batch layout
+    copies."""
 
     features: int
     dtype: Dtype = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = ConvBlock(self.features, dtype=self.dtype)(x)
-        h = ConvBlock(self.features, act=False, dtype=self.dtype)(h)
+        h = ConvBlock(self.features, dtype=self.dtype, fused=self.fused)(x)
+        h = ConvBlock(
+            self.features, act=False, dtype=self.dtype, fused=self.fused
+        )(h)
         return x + h
 
 

@@ -185,6 +185,105 @@ def decode_plane_np(coeffs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(pix + 128.0), 0.0, 255.0).astype(np.uint8)
 
 
+# ---- per-block-shift bit packing -------------------------------------
+#
+# The int8 wire spends 8 bits on every coefficient, but at quality 75
+# the AC distributions measured on the committed GAN clips are far
+# narrower (luma AC1-2 p99.9 = 72, AC6+ p99.9 <= 19; chroma ACs p99.9
+# <= 11), with the mass concentrated in a few high-energy edge blocks.
+# Plain fixed-width clipping loses 3-7 dB on the sharpest synthetic
+# content (measured), so the pack is BLOCK-ADAPTIVE: each block carries
+# a 2-bit shift s and its ACs as (ac >> s) in W_AC bits — range doubles
+# where the block needs it, precision halves only there (the perceptual
+# masking case). DC stays exact at 8 bits. Measured on the committed
+# clips at (W_AC_LUMA, W_AC_CHROMA) = (5, 4): 67% of the int8 bytes at
+# -0.5 dB on the worst clip (45.1/42.8/42.2 vs 46.0/43.3/42.7 dB).
+# No entropy coding — the device side stays one static-shape program
+# and the host unpack is a vectorized np.unpackbits. Packing is
+# COLUMNAR BIT-PLANE: per field (DC, shift, each AC), bias the column
+# to unsigned and emit one byte per 8 blocks per bit plane (MSB-first,
+# matching np.unpackbits).
+
+W_AC_LUMA = 5
+W_AC_CHROMA = 4
+
+
+def packed_plane_bytes(n_blocks: int, k: int, w_ac: int) -> int:
+    """Wire bytes for one plane of n_blocks shift-packed blocks."""
+    m = -(-n_blocks // 8)  # byte groups per bit plane
+    return int(m * (8 + 2 + (k - 1) * w_ac))
+
+
+def _pack_columns(cols, widths):
+    """cols: list of [n] uint arrays (values < 2^w); -> flat uint8 of
+    concatenated bit planes, one byte per 8 values, MSB-first."""
+    out = []
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    for col, w in zip(cols, widths):
+        n = col.shape[0]
+        pad = (-n) % 8
+        if pad:
+            col = jnp.pad(col, (0, pad))
+        grp = col.astype(jnp.uint8).reshape(-1, 8)
+        for b in range(int(w) - 1, -1, -1):
+            bits = (grp >> b) & 1
+            out.append(jnp.sum(bits * weights, axis=1, dtype=jnp.uint8))
+    return jnp.concatenate(out)
+
+
+def pack_plane_shift(coeffs, w_ac: int):
+    """Device pack: [..., Hb, Wb, k] int8 coefficients -> flat uint8.
+
+    Per block: DC exact (8 bits), shift s = min{0..3 : max|AC| >> s
+    fits signed w_ac bits} (2 bits), ACs rounded-shifted ((ac + 2^(s-1))
+    >> s, floor semantics) in w_ac bits each. Safety-clipped after the
+    shift, so s = 3 still bounds every representable input."""
+    k = coeffs.shape[-1]
+    flat = coeffs.reshape(-1, k).astype(jnp.int32)
+    dc = flat[:, 0] + 128  # [n] in [1, 255]
+    ac = flat[:, 1:]
+    lim = (1 << (w_ac - 1)) - 1
+    m = jnp.max(jnp.abs(ac), axis=1).astype(jnp.float32)
+    s = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(m, 1.0) / lim)), 0, 3
+    ).astype(jnp.int32)
+    half = jnp.where(s > 0, 1 << jnp.maximum(s - 1, 0), 0)
+    ac_s = jnp.clip((ac + half[:, None]) >> s[:, None], -lim - 1, lim)
+    cols = [dc, s] + [ac_s[:, i] + (lim + 1) for i in range(k - 1)]
+    widths = [8, 2] + [w_ac] * (k - 1)
+    return _pack_columns(cols, widths)
+
+
+def unpack_plane_shift_np(
+    buf: np.ndarray, shape, w_ac: int
+) -> np.ndarray:
+    """Host unpack: flat uint8 -> [..., Hb, Wb, k] int8 in the same
+    quantized-coefficient domain as the unpacked wire (ACs carry the
+    block shift back in: value << s, max 120, fits int8) — drop-in for
+    decode_plane_np and the native codec."""
+    k = shape[-1]
+    n = int(np.prod(shape[:-1]))
+    m = -(-n // 8)
+    widths = [8, 2] + [w_ac] * (k - 1)
+    fields = []
+    pos = 0
+    for w in widths:
+        planes = buf[pos : pos + w * m].reshape(w, m)
+        pos += w * m
+        bits = np.unpackbits(planes, axis=-1)  # [w, m*8]
+        val = np.zeros(m * 8, np.int32)
+        for b in range(w):
+            val |= bits[b].astype(np.int32) << (w - 1 - b)
+        fields.append(val)
+    lim = (1 << (w_ac - 1)) - 1
+    out = np.empty((m * 8, k), np.int8)
+    out[:, 0] = (fields[0] - 128).astype(np.int8)
+    s = fields[1]
+    for i in range(k - 1):
+        out[:, i + 1] = ((fields[2 + i] - (lim + 1)) << s).astype(np.int8)
+    return out[:n].reshape(shape)
+
+
 def encode_yuv(y, u, v, quality: int = 80, k_luma: int = 20,
                k_chroma: int = 8):
     """Device encode of float YUV planes (0..255) -> int8 coefficient

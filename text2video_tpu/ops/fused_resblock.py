@@ -1,0 +1,135 @@
+"""Fused 3x3 conv + instance-norm statistics as a Pallas TPU kernel —
+the residual-block hot path of the pose2frame generator.
+
+Capability target: the 18 reflect-padded 3x3 convs of the vid2vid-style
+residual stack (reference: the external vid2vid fork's ResnetBlock,
+SURVEY.md §2.3), which carry ~66% of the generator's FLOPs. XLA's
+batch-1 lowering space-to-batches each conv and materializes an
+~18 MB windowed layout copy per conv against a 3 MB activation
+(out/hlo_r4c, the [50,4,8,11,512] copies) — the measured reason the
+forward sits at ~39% MFU against an 88% roofline.
+
+The kernel reads the reflect-padded activation ONCE into VMEM, runs the
+conv as nine static-shift [TH*W, C] @ [C, C] MXU contractions with
+float32 accumulation, adds the bias, and emits
+
+  * the conv output in the compute dtype, and
+  * per-row-tile partial sums (sum, sum of squares) per channel,
+
+so the caller finishes the instance-norm statistics with a tiny [T, C]
+reduction and applies the affine + relu (+ residual add) as ordinary
+XLA elementwise work that fuses into neighbours. HBM traffic per conv
+drops to read x + write y + weights (~11 MB) and the stats come from
+the f32 accumulator — strictly more precise than the bf16-rounded
+activation XLA reduces today.
+
+Off-TPU the kernel runs in Pallas interpret mode, so the CPU test mesh
+exercises the same code path (pattern from ops/fused_pose.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pick_tile(h: int) -> int:
+    """Largest row-tile <= 16 dividing h (h is a multiple of 8 for all
+    supported load sizes: 48, 64, 112...)."""
+    for th in (16, 12, 8, 4, 2, 1):
+        if h % th == 0:
+            return th
+    return 1
+
+
+def _conv_kernel(xp_ref, k_ref, b_ref, y_ref, part_ref, *, th, w, c,
+                 out_dtype):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    acc = jnp.zeros((th * w, c), jnp.float32)
+    for dy in range(3):
+        rows = xp_ref[pl.ds(i * th + dy, th), :, :]  # [th, w+2, c]
+        for dx in range(3):
+            xs = rows[:, dx : dx + w, :].reshape(th * w, c)
+            acc = acc + jax.lax.dot_general(
+                xs,
+                k_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + b_ref[0][None, :]
+    y_ref[:] = acc.reshape(th, w, c).astype(out_dtype)
+    part_ref[0, 0, :] = jnp.sum(acc, axis=0)
+    part_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_stats_single(xp, k, b, *, interpret: bool):
+    """xp [H+2, W+2, C] (compute dtype), k [3, 3, C, C] (compute dtype),
+    b [1, C] f32 -> (y [H, W, C] compute dtype, parts [T, 2, C] f32)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hp, wp, c = xp.shape
+    h, w = hp - 2, wp - 2
+    th = _pick_tile(h)
+    n_tiles = h // th
+    kernel = functools.partial(
+        _conv_kernel, th=th, w=w, c=c, out_dtype=xp.dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((hp, wp, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w, c), xp.dtype),
+            jax.ShapeDtypeStruct((n_tiles, 2, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, k, b)
+
+
+def conv3x3_stats(
+    x: jax.Array, k: jax.Array, b: jax.Array, interpret: bool = None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Reflect-padded 3x3 conv + bias with fused IN statistics.
+
+    x [B, H, W, C] compute dtype, k [3, 3, C, C] float32 params,
+    b [C] float32 -> (y [B, H, W, C], mean [B, C] f32, var [B, C] f32).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, h, w, c = x.shape
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
+    )
+    kc = k.astype(x.dtype)
+    b2 = b.reshape(1, c).astype(jnp.float32)
+
+    def one(xp_i):
+        return _conv3x3_stats_single(xp_i, kc, b2, interpret=interpret)
+
+    y, parts = jax.vmap(one)(xp)
+    n = float(h * w)
+    s1 = jnp.sum(parts[:, :, 0, :], axis=1)
+    s2 = jnp.sum(parts[:, :, 1, :], axis=1)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return y, mean, var

@@ -66,11 +66,16 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     v10 = gathered[..., 2, :]
     v11 = gathered[..., 3, :]
 
-    wx = wx.astype(img.dtype)
-    wy = wy.astype(img.dtype)
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
-    return top + (bot - top) * wy
+    # Blend in f32: the gathered VALUES ride the image dtype (that is
+    # where the gather bytes are), but the subpixel lerp weights stay at
+    # full precision — quantizing wx/wy to bf16 (~2^-8) injects
+    # position-dependent error that the autoregressive warp recurrence
+    # feeds back every frame (round-4 advisor finding). The upcast is
+    # elementwise and fuses into the blend; only the final result
+    # rounds back to img.dtype.
+    top = v00.astype(compute_dtype) + (v01 - v00).astype(compute_dtype) * wx
+    bot = v10.astype(compute_dtype) + (v11 - v10).astype(compute_dtype) * wx
+    return (top + (bot - top) * wy).astype(img.dtype)
 
 
 def flow_tv(flow: jax.Array) -> jax.Array:

@@ -73,36 +73,34 @@ class PoseStage:
         output byte-for-byte).
 
         mesh: shard the utterance's time axis over the mesh's "data" axis
-        (SURVEY.md §2.5 sequence parallelism). The smoother then runs its
-        FIR variant (halo exchange over ICI, ops/smooth.py) — a documented
-        deviation from the reference's recursive in-place smoothing, whose
-        frame t depends on smoothed frame t-1 and therefore cannot split
-        over chips; the FIR window reads original neighbours instead.
+        (SURVEY.md §2.5 sequence parallelism). Synthesis runs the
+        bit-exact float64 host path (it is ~microseconds for 285 floats
+        a frame), and the recursive smoother runs sharded in float64
+        with a warm-up-replay carry (ops/smooth.py::
+        smooth_recursive_sharded) — the mesh run's smoothed tracks, and
+        therefore its pose JSONs, are BYTE-equal to the single-chip host
+        output (tests/test_smooth_sharded.py).
         """
         import jax
 
         plan = plan_pose_track(ts, self.pdict, self.table, self.profile)
         if mesh is not None:
-            from text2video_tpu.ops.smooth import smooth_fir_sharded
+            from text2video_tpu.ops.smooth import smooth_recursive_sharded
 
-            face, pose = synthesize_device(plan, self.table)
+            face, pose = synthesize_host(plan, self.table)
             n = mesh.shape["data"]
             t = face.shape[0]
-            # Each shard's block must be at least the halo width.
-            sw = self.profile.smooth_width
-            t_pad = n * max((t + n - 1) // n, sw)
-            import jax.numpy as jnp
-
-            fp = jnp.pad(face, ((0, t_pad - t), (0, 0)))
-            pp = jnp.pad(pose, ((0, t_pad - t), (0, 0)))
-            face_s, pose_s = smooth_fir_sharded(
+            t_pad = n * ((t + n - 1) // n)
+            fp = np.pad(face, ((0, t_pad - t), (0, 0)))
+            pp = np.pad(pose, ((0, t_pad - t), (0, 0)))
+            face_s, pose_s = smooth_recursive_sharded(
                 fp, pp, mesh, self.profile.smooth_width, t_valid=t
             )
             return PoseResult(
-                face=np.asarray(face, np.float64),
-                pose=np.asarray(pose, np.float64),
-                face_smooth=np.asarray(face_s, np.float64)[:t],
-                pose_smooth=np.asarray(pose_s, np.float64)[:t],
+                face=face,
+                pose=pose,
+                face_smooth=face_s[:t],
+                pose_smooth=pose_s[:t],
                 plan=plan,
             )
         if device:

@@ -56,15 +56,19 @@ class Renderer:
         n_blocks: int = 9,
         dtype=jnp.bfloat16,
         phase_form: bool = True,
+        fused_resblocks: bool = False,
         compiler_options: Optional[dict] = None,
     ) -> "Renderer":
         """Random-init renderer (weights come from training/checkpoints).
 
         phase_form=False runs the plain full-resolution decoder tail
-        instead of the mathematically-identical phase form (probes)."""
+        instead of the mathematically-identical phase form (probes).
+        fused_resblocks routes the residual stack through the Pallas
+        fused conv+IN kernel (ops/fused_resblock.py)."""
         config = config or RenderConfig()
         gen = CompositeGenerator(base_ch=base_ch, n_blocks=n_blocks,
-                                 dtype=dtype, phase_form=phase_form)
+                                 dtype=dtype, phase_form=phase_form,
+                                 fused_resblocks=fused_resblocks)
         labels = jnp.zeros((1, height, width, 3 * config.n_frames_ctx))
         prev = jnp.zeros((1, height, width, 3 * config.use_prev_frames))
         params = gen.init(jax.random.PRNGKey(seed), labels, prev, jnp.ones((1,)))
@@ -176,14 +180,26 @@ class Renderer:
         """One batched generator sweep over every frame at once.
 
         labels_ctx [T, H, W, 3*n_frames_ctx], prev_imgs [T, H, W,
-        3*use_prev_frames], has_prev [T] -> frames [T, H, W, 3] f32.
+        3*use_prev_frames], has_prev [T] -> frames [T, H, W, 3] in the
+        GENERATOR dtype — the scan quantizes its carry to that dtype at
+        the same point (render.py::_scan_chunk), and holding f32 frames
+        between sweeps only doubled inter-sweep HBM bytes: the generator
+        casts prev_imgs to its compute dtype on entry, so the scan and
+        Jacobi recurrences are algorithmically identical either way
+        (verified bit-exact by manual emulation,
+        tools/jacobi_bisect_probe.py). The residual scan-vs-Jacobi
+        difference in production is COMPILE-level: two differently-fused
+        bf16 programs of the same generator differ by up to ~0.07 per
+        forward (tools/jacobi_bisect2.py), which the autoregressive warp
+        recurrence amplifies on random weights (trained weights amplify
+        far less — 42 dB at 2 sweeps, tools/jacobi_quality.py).
         The frame axis rides the generator's batch axis — large batches
         keep the MXU full, unlike the scan's one-frame steps.
         """
         frame, _, _ = self.generator.apply(
             params, labels_ctx, prev_imgs, has_prev
         )
-        return frame.astype(jnp.float32)
+        return frame.astype(self.generator.dtype)
 
     @property
     def _jacobi_sweep(self):
@@ -238,13 +254,16 @@ class Renderer:
             )
 
         # Static label context: frame t sees labels[t], t-1, .. (zeros
-        # before the start), exactly the scan's prev_labels carry.
+        # before the start), exactly the scan's prev_labels carry. Like
+        # the scan, the assembled context rides in the generator dtype
+        # (same single f32->dt rounding; half the HBM bytes).
+        dt = self.generator.dtype
         ctx = [labels]
         for k in range(1, cfg.n_frames_ctx):
             ctx.append(
                 jnp.pad(labels, ((k, 0), (0, 0), (0, 0), (0, 0)))[:t]
             )
-        labels_ctx = jnp.concatenate(ctx, axis=-1)
+        labels_ctx = jnp.concatenate(ctx, axis=-1).astype(dt)
         has_prev = (jnp.arange(t) > 0).astype(jnp.float32)
 
         # Sweep in fixed-size batch chunks (pad the tail so jit sees one
@@ -260,7 +279,12 @@ class Renderer:
             has_prev = jnp.pad(has_prev, (0, pad_t))
         tt = t + pad_t
 
-        frames = jnp.zeros((t, h2, w2, 3), jnp.float32)
+        # Frames live in the generator dtype between sweeps — same
+        # values the generator would cast to on entry anyway, at half
+        # the inter-sweep HBM bytes (_jacobi_sweep docstring); the f32
+        # upcast happens once at the end, mirroring _render_chunk_impl's
+        # quantization pass.
+        frames = jnp.zeros((t, h2, w2, 3), dt)
         for _ in range(max(int(sweeps), 1)):
             prev = [
                 jnp.pad(frames, ((k, 0), (0, 0), (0, 0), (0, 0)))[:t]
@@ -279,7 +303,7 @@ class Renderer:
                 for lo in range(0, tt, bucket)
             ]
             frames = jnp.concatenate(outs, axis=0)[:t]
-        return frames
+        return frames.astype(jnp.float32)
 
     def _jacobi_sharded_impl(self, params, labels, has_prev, sweeps):
         """All `sweeps` Jacobi iterations as ONE jitted program over a
@@ -302,11 +326,14 @@ class Renderer:
         def shift(x, k):
             return jnp.pad(x, ((k, 0),) + ((0, 0),) * (x.ndim - 1))[:t]
 
+        dt = self.generator.dtype
         ctx = [labels]
         for k in range(1, cfg.n_frames_ctx):
             ctx.append(shift(labels, k))
-        labels_ctx = jnp.concatenate(ctx, axis=-1)
+        labels_ctx = jnp.concatenate(ctx, axis=-1).astype(dt)
 
+        # dt inter-sweep frames: same fixed point as the scan's dt carry
+        # (_jacobi_sweep docstring).
         def body(_, frames):
             prev = jnp.concatenate(
                 [shift(frames, k) for k in range(1, cfg.use_prev_frames + 1)],
@@ -315,11 +342,12 @@ class Renderer:
             out, _, _ = self.generator.apply(
                 params, labels_ctx, prev, has_prev
             )
-            return out.astype(jnp.float32)
+            return out.astype(dt)
 
         frames = jax.lax.fori_loop(
-            0, sweeps, body, jnp.zeros((t, h2, w2, 3), jnp.float32)
+            0, sweeps, body, jnp.zeros((t, h2, w2, 3), dt)
         )
+        frames = frames.astype(jnp.float32)
         return jnp.clip((frames + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
 
     def render_jacobi_sharded(
@@ -373,10 +401,32 @@ class Renderer:
         )
         return packed, carry
 
+    def _pack_coeff_planes(self, yq, uq, vq):
+        """Flatten the three coefficient planes into ONE wire array:
+        raw int8 coefficients, or (config.wire_packed) the per-block-
+        shift bit-packed uint8 stream at ~67% of the bytes
+        (ops/dct.py::pack_plane_shift)."""
+        if self.config.wire_packed:
+            from text2video_tpu.ops.dct import (
+                W_AC_CHROMA,
+                W_AC_LUMA,
+                pack_plane_shift,
+            )
+
+            return jnp.concatenate([
+                pack_plane_shift(yq, W_AC_LUMA),
+                pack_plane_shift(uq, W_AC_CHROMA),
+                pack_plane_shift(vq, W_AC_CHROMA),
+            ])
+        return jnp.concatenate(
+            [yq.reshape(-1), uq.reshape(-1), vq.reshape(-1)]
+        )
+
     def _render_chunk_dct_impl(self, params, labels, carry):
-        """Like the YUV chunk but the planes leave as ONE flat int8 array
-        of zigzag-truncated quantized 8x8-DCT coefficients (ops/dct.py) —
-        ~4x fewer wire bytes than YUV420; the host dequantizes + IDCTs
+        """Like the YUV chunk but the planes leave as ONE flat array of
+        zigzag-truncated quantized 8x8-DCT coefficients (ops/dct.py) —
+        ~4x fewer wire bytes than YUV420 (bit-packed to ~67% of that
+        again when config.wire_packed); the host dequantizes + IDCTs
         between pulls."""
         from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420_float
         from text2video_tpu.ops.dct import encode_yuv
@@ -390,10 +440,7 @@ class Renderer:
             k_luma=cfg.wire_k_luma,
             k_chroma=cfg.wire_k_chroma,
         )
-        packed = jnp.concatenate(
-            [yq.reshape(-1), uq.reshape(-1), vq.reshape(-1)]
-        )
-        return packed, carry
+        return self._pack_coeff_planes(yq, uq, vq), carry
 
     def _cached_jit(self, name: str, impl):
         fn = getattr(self, name, None)
@@ -473,6 +520,7 @@ class Renderer:
                 jnp.uint8
             )
             return np.asarray(out)
+        label_chunks = self._normalize_chunks(label_chunks)
         h, w = label_chunks[0].shape[1:3]
         carry = self.init_carry(1, *self.target_hw(h, w))
         outs = []
@@ -490,6 +538,40 @@ class Renderer:
         host = [np.asarray(c[0]) for c in outs]
         return np.concatenate(host, axis=0)[:t]
 
+    def _normalize_chunks(self, label_chunks):
+        """Make every chunk long enough for _scan_chunk's chunk-wide
+        label-context assembly (>= n_frames_ctx-1 frames).
+
+        The rasterizer emits uniform time_bucket chunks, so normally
+        this is a no-op. A short FINAL chunk zero-pads at the end (the
+        pad frames render but are discarded by the caller's ``t``
+        truncation; the polluted carry is never used again). A short
+        MID-STREAM chunk — only possible from external callers building
+        their own chunk lists — falls back to concatenating the whole
+        timeline and re-slicing into uniform time_bucket chunks, which
+        preserves exact scan semantics at the cost of one extra
+        device-side copy."""
+        min_len = self.config.n_frames_ctx - 1
+        chunks = list(label_chunks)
+        if not chunks:
+            raise ValueError("no label chunks")
+        if all(c.shape[0] >= min_len for c in chunks[:-1]):
+            last = chunks[-1]
+            if last.shape[0] < min_len:
+                pad = min_len - last.shape[0]
+                chunks[-1] = jnp.pad(
+                    last, ((0, pad), (0, 0), (0, 0), (0, 0))
+                )
+            return chunks
+        flat = jnp.concatenate(chunks, axis=0)
+        bucket = max(self.time_bucket, min_len)
+        pad = (-flat.shape[0]) % bucket
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        return [
+            flat[lo : lo + bucket] for lo in range(0, flat.shape[0], bucket)
+        ]
+
     def _split_wire(self, arr: np.ndarray, c: int, n: int, h2: int, w2: int):
         """Split one pulled wire array back into its three per-plane
         arrays: DCT coefficients ([n, hb, wb, k] int8 per plane) for the
@@ -502,6 +584,34 @@ class Renderer:
             kl, kc = self.config.wire_k_luma, self.config.wire_k_chroma
             hb, wb = -(-h2 // 8), -(-w2 // 8)
             hbc, wbc = -(-hc // 8), -(-wc // 8)
+            if self.config.wire_packed:
+                # Unpack the bit-packed stream back to plain int8
+                # coefficient arrays (same domain as the raw wire, the
+                # block shift folded back in) — downstream decode paths
+                # (decode_plane_np, the native codec) see no difference.
+                from text2video_tpu.ops.dct import (
+                    W_AC_CHROMA,
+                    W_AC_LUMA,
+                    packed_plane_bytes,
+                    unpack_plane_shift_np,
+                )
+
+                sy = packed_plane_bytes(c * hb * wb, kl, W_AC_LUMA)
+                su = packed_plane_bytes(c * hbc * wbc, kc, W_AC_CHROMA)
+                buf = arr.view(np.uint8)
+                return (
+                    unpack_plane_shift_np(
+                        buf[:sy], (c, hb, wb, kl), W_AC_LUMA
+                    )[:n],
+                    unpack_plane_shift_np(
+                        buf[sy : sy + su], (c, hbc, wbc, kc), W_AC_CHROMA
+                    )[:n],
+                    unpack_plane_shift_np(
+                        buf[sy + su : sy + 2 * su],
+                        (c, hbc, wbc, kc),
+                        W_AC_CHROMA,
+                    )[:n],
+                )
             sy, su = c * hb * wb * kl, c * hbc * wbc * kc
             return (
                 arr[:sy].reshape(c, hb, wb, kl)[:n],
@@ -602,9 +712,7 @@ class Renderer:
                 k_luma=cfg.wire_k_luma,
                 k_chroma=cfg.wire_k_chroma,
             )
-            return jnp.concatenate(
-                [yq.reshape(-1), uq.reshape(-1), vq.reshape(-1)]
-            )
+            return self._pack_coeff_planes(yq, uq, vq)
         from text2video_tpu.ops.colorspace import rgb_norm_to_yuv420
 
         y, u, v = rgb_norm_to_yuv420(frames[None])
@@ -666,7 +774,7 @@ class Renderer:
                 self._render_chunk_dct if use_dct else self._render_chunk_yuv
             )
             carry = self.init_carry(1, h2, w2)
-            for chunk in label_chunks:
+            for chunk in self._normalize_chunks(label_chunks):
                 if done >= min(t, self.config.max_frames):
                     break
                 labels = chunk.astype(jnp.float32)[None] / 127.5 - 1.0

@@ -84,6 +84,15 @@ class TrainConfig:
     # (models/vgg.load_params .npz -> create_trainer_state vgg_params)
     # with use_vgg=True restores the vid2vid-faithful perceptual term.
     lambda_l1: float = 10.0
+    # Extra L1 on the mouth crop (the ``face_crop`` window around the
+    # batch's mouth centers — the same 96 px region tools/eval_gan.py
+    # scores). Round-4 finding: on synthetic-avatar identities the
+    # adversarial phase LOWERS mouth PSNR while raising whole-frame
+    # PSNR; this term anchors exactly the region the pipeline's
+    # lip-sync quality rides on, steering the adversarial game instead
+    # of just reporting the regression. 0 = off (the historical
+    # objective).
+    lambda_l1_mouth: float = 0.0
     use_vgg: bool = False
     # Rematerialize the per-frame generator forward (and VGG) in the
     # backward pass: the T-step scan otherwise saves every frame's
@@ -406,6 +415,16 @@ def make_train_step(cfg: TrainConfig):
         )
         if cfg.lambda_l1 > 0.0:
             g_loss = g_loss + cfg.lambda_l1 * L.l1(fakes_f, reals_flat)
+        g_mouth = jnp.zeros(())
+        if cfg.lambda_l1_mouth > 0.0:
+            # The batch's "face_centers" ARE mouth centers (points 48-59
+            # mean, train/data.py:32-36) — the same window the face D
+            # conditions on and tools/eval_gan.py scores.
+            g_mouth = L.l1(
+                face_crop(fakes_f, centers_f, cfg.face_crop),
+                face_crop(reals_flat, centers_f, cfg.face_crop),
+            )
+            g_loss = g_loss + cfg.lambda_l1_mouth * g_mouth
 
         metrics = {
             "g_loss": g_loss,
@@ -413,6 +432,7 @@ def make_train_step(cfg: TrainConfig):
             "g_fm": g_fm,
             "g_vgg": g_vgg,
             "g_flow": g_flow,
+            "g_mouth_l1": g_mouth,
         }
         return g_loss, (metrics, fakes)
 

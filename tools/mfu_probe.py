@@ -54,6 +54,9 @@ def main() -> None:
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--no-phase", action="store_true",
                    help="probe the plain (pre-round-4) decoder tail")
+    p.add_argument("--fused-resblocks", action="store_true",
+                   help="route the residual stack through the Pallas "
+                   "fused conv+IN kernel (ops/fused_resblock.py)")
     p.add_argument("--dump-hlo", default="",
                    help="directory: write optimized HLO of the raw "
                    "forward per batch size (the b1-vs-b4 layout diff)")
@@ -75,6 +78,7 @@ def main() -> None:
     h, w = args.height, args.width
     renderer = Renderer.create(
         height=h, width=w, phase_form=not args.no_phase,
+        fused_resblocks=args.fused_resblocks,
         compiler_options=copts,
     )
     cfg = renderer.config
