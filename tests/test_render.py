@@ -46,11 +46,20 @@ def test_render_max_frames_cap():
 
 
 def test_render_many_sharded_matches_single():
-    """Utterance-batch axis sharded over the 8-device mesh must reproduce
-    per-utterance rendering exactly (batch parallelism is embarrassing)."""
+    """Utterance-batch axis sharded over the 8-device mesh must
+    reproduce per-utterance rendering exactly on the XLA conv path
+    (batch parallelism is embarrassing). The fused Pallas batch path
+    (render.Renderer.fused_batch, the default) is held to a tolerance
+    instead: its f32-accumulated stats and GSPMD's per-sharding
+    compilation differ from the batch-1 XLA program at rounding level,
+    which the autoregressive warp recurrence amplifies by a few uint8
+    levels over a clip (same chaos mechanism as
+    tests/test_pipeline_e2e.py::test_jacobi_decode_pipeline)."""
+    import dataclasses
+
     from text2video_tpu.parallel.mesh import make_mesh
 
-    r = _tiny_renderer()
+    r = dataclasses.replace(_tiny_renderer(), fused_batch=False)
     r.time_bucket = 4
     rng = np.random.RandomState(3)
     labels = rng.randint(0, 256, size=(8, 6, 32, 32, 3), dtype=np.uint8)
@@ -59,6 +68,15 @@ def test_render_many_sharded_matches_single():
     batched = r.render_many(labels, mesh=mesh)
     assert batched.shape == singles.shape
     np.testing.assert_array_equal(batched, singles)
+
+    r_fused = _tiny_renderer()
+    r_fused.time_bucket = 4
+    fused = r_fused.render_many(labels, mesh=mesh)
+    mse = np.mean(
+        (fused.astype(np.float64) - singles.astype(np.float64)) ** 2
+    )
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    assert psnr >= 30.0, psnr
 
 
 def test_render_from_device_chunks_matches_host_path():

@@ -39,7 +39,21 @@ class Renderer:
     generator: CompositeGenerator
     params: dict
     config: RenderConfig = dataclasses.field(default_factory=RenderConfig)
-    time_bucket: int = 32  # frames per compiled chunk
+    # Frames per compiled chunk (also the Jacobi sweep batch). Bigger
+    # buckets amortize the per-chunk dispatch (tunnel RTT ~25 ms):
+    # measured scan b1 5.55 ms/frame @32 -> 5.06 @64 -> 4.83 @128
+    # (out/mfu_probe_chunk{64,128}.json); 64 balances that against
+    # short-utterance padding waste and streaming-pull granularity.
+    time_bucket: int = 64
+    # Batch>1 forwards (Jacobi sweeps, batched serving) route the
+    # residual stack through the fused Pallas conv+IN kernel
+    # (ops/fused_resblock.py) — measured on the real chip: it removes
+    # XLA's batch>1 f32-copy pathology (scan_b4 8.88 -> 6.34 ms/frame)
+    # while batch-1 keeps the XLA convs, which already run at
+    # ~180 TF/s in-scan (out/scan_profile_r4c.json) and lose ~2.5
+    # ms/frame to pallas-boundary overhead if forced through the
+    # kernel. Same parameters either way (tests/test_models.py).
+    fused_batch: bool = True
     # Extra XLA options shipped with every compile request (reach the
     # remote TPU compiler, unlike env flags). None = backend defaults.
     # Perf probes use e.g. {"xla_tpu_run_space_to_batch": False} — see
@@ -76,6 +90,22 @@ class Renderer:
                         compiler_options=compiler_options)
 
     # ------------------------------------------------------------------
+
+    def _gen_for(self, batch: int) -> CompositeGenerator:
+        """Generator variant for a (static) batch size — see the
+        ``fused_batch`` field. Parameter trees are identical, so the
+        same ``self.params`` drive both."""
+        if (
+            batch > 1
+            and self.fused_batch
+            and not self.generator.fused_resblocks
+        ):
+            fused = getattr(self, "_gen_fused_cache", None)
+            if fused is None:
+                fused = self.generator.clone(fused_resblocks=True)
+                object.__setattr__(self, "_gen_fused_cache", fused)
+            return fused
+        return self.generator
 
     def init_carry(self, batch: int, height: int, width: int):
         """(prev_imgs, prev_labels, step) scan carry for a fresh utterance.
@@ -149,9 +179,11 @@ class Renderer:
             (steps > 0).astype(jnp.float32)[:, None], (c, b)
         )
 
+        gen = self._gen_for(b)
+
         def step_fn(prev, xs):
             lab_ctx, hp = xs
-            frame, _, _ = self.generator.apply(params, lab_ctx, prev, hp)
+            frame, _, _ = gen.apply(params, lab_ctx, prev, hp)
             frame = frame.astype(dt)
             new_prev = jnp.concatenate([frame, prev[..., :-3]], axis=-1)
             return new_prev, frame
@@ -196,7 +228,7 @@ class Renderer:
         The frame axis rides the generator's batch axis — large batches
         keep the MXU full, unlike the scan's one-frame steps.
         """
-        frame, _, _ = self.generator.apply(
+        frame, _, _ = self._gen_for(labels_ctx.shape[0]).apply(
             params, labels_ctx, prev_imgs, has_prev
         )
         return frame.astype(self.generator.dtype)
