@@ -134,3 +134,52 @@ def test_flow_loss_chunked_matches_unchunked(monkeypatch):
     chunk_v, chunk_g = jax.value_and_grad(L.flow_loss)(flow, prev, cur)
     np.testing.assert_allclose(whole_v, chunk_v, rtol=1e-6)
     np.testing.assert_allclose(whole_g, chunk_g, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_resblock_matches_plain():
+    """ops/fused_resblock.py (Pallas conv+IN-stats kernel, interpret
+    mode off-TPU) reproduces the plain XLA ResBlock with an IDENTICAL
+    parameter tree — same checkpoints drive both paths; values agree to
+    dtype rounding (stats come from the f32 accumulator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2video_tpu.models.layers import ResBlock
+
+    rng = np.random.RandomState(0)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.05)):
+        x = jnp.asarray(
+            rng.randn(2, 16, 24, 64).astype(np.float32)
+        ).astype(dtype)
+        plain = ResBlock(64, dtype=dtype)
+        fused = ResBlock(64, dtype=dtype, fused=True)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(
+            fused.init(jax.random.PRNGKey(0), x)
+        ) == jax.tree_util.tree_structure(params)
+        y0 = np.asarray(plain.apply(params, x), np.float64)
+        y1 = np.asarray(fused.apply(params, x), np.float64)
+        assert np.abs(y0 - y1).max() <= tol, (dtype, np.abs(y0 - y1).max())
+
+
+def test_fused_resblock_odd_sizes():
+    """Non-multiple-of-16 heights pick a smaller row tile; widths are
+    free (the xuesong 896-wide /8 trunk is 112)."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2video_tpu.ops.fused_resblock import conv3x3_stats
+
+    rng = np.random.RandomState(1)
+    for h, w in ((12, 28), (8, 112), (4, 16)):
+        x = jnp.asarray(rng.randn(1, h, w, 128).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 128, 128).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        y, mean, var = conv3x3_stats(x, k, b)
+        assert y.shape == (1, h, w, 128)
+        # stats match a direct reduction of y
+        np.testing.assert_allclose(
+            np.asarray(mean[0]), np.asarray(y[0]).mean((0, 1)),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert np.isfinite(np.asarray(var)).all()
