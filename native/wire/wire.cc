@@ -228,6 +228,48 @@ void requant_block(const int8_t* zq, int k, const float* qz, float scale,
 
 extern "C" {
 
+// Unpack the per-block-shift bit-packed wire (ops/dct.py::
+// pack_plane_shift layout: per field — DC 8 bits, shift 2 bits, each
+// AC w_ac bits — MSB-first bit planes of one byte per 8 blocks) back
+// into plain int8 coefficients with the block shift folded in
+// (identical output contract to ops/dct.py::unpack_plane_shift_np).
+// buf: m*(10+(k-1)*w_ac) bytes with m = ceil(n_blocks/8);
+// out: n_blocks*k int8. Returns 0, or -1 on bad parameters.
+int t2v_wire_unpack(const uint8_t* buf, int64_t n_blocks, int k, int w_ac,
+                    int8_t* out) {
+  if (k < 1 || w_ac < 2 || w_ac > 8 || n_blocks <= 0) return -1;
+  const int64_t m = (n_blocks + 7) / 8;
+  const int64_t n_pad = m * 8;
+  const int lim = (1 << (w_ac - 1)) - 1;
+  std::vector<int> vals(n_pad);
+  const uint8_t* p = buf;
+  auto read_field = [&](int w) {
+    std::fill(vals.begin(), vals.end(), 0);
+    for (int b = 0; b < w; ++b) {
+      const int shift = w - 1 - b;
+      for (int64_t i = 0; i < m; ++i) {
+        const uint8_t byte = p[i];
+        for (int j = 0; j < 8; ++j)
+          vals[i * 8 + j] |= ((byte >> (7 - j)) & 1) << shift;
+      }
+      p += m;
+    }
+  };
+  read_field(8);
+  for (int64_t i = 0; i < n_blocks; ++i)
+    out[i * k] = static_cast<int8_t>(vals[i] - 128);
+  std::vector<int> sh(n_pad);
+  read_field(2);
+  sh = vals;
+  for (int c = 1; c < k; ++c) {
+    read_field(w_ac);
+    for (int64_t i = 0; i < n_blocks; ++i)
+      out[i * k + c] =
+          static_cast<int8_t>((vals[i] - (lim + 1)) << sh[i]);
+  }
+  return 0;
+}
+
 // Fused coefficient->BGR decode. yc/uc/vc: zigzag-truncated int8
 // coefficients, [n, yhb, ywb, kl] and [n, chb, cwb, kc]; lkern/ckern:
 // [k][64] dequant+IDCT kernels (ops/dct.py::_decode_kernel layout);

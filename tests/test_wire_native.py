@@ -140,3 +140,32 @@ def test_odd_dims_jpeg():
     assert img is not None and img.shape == (h, w, 3)
     bgr = wire_native.decode_bgr(yq, uq, vq, h, w)
     assert _psnr(img, bgr[0]) > 34.0
+
+
+def test_native_unpack_matches_numpy():
+    """native/wire/wire.cc::t2v_wire_unpack reproduces the numpy
+    bit-plane unpack byte-for-byte on random packed buffers."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2video_tpu.io import wire_native
+    from text2video_tpu.ops.dct import (
+        _unpack_plane_shift_numpy,
+        pack_plane_shift,
+    )
+
+    if not wire_native.available():
+        pytest.skip("native wire codec not built")
+    rng = np.random.RandomState(0)
+    for shape, w in [((4, 8, 8, 12), 5), ((3, 4, 4, 6), 4),
+                     ((1, 5, 7, 12), 5)]:
+        coeffs = rng.randint(-127, 128, size=shape).astype(np.int8)
+        packed = np.asarray(
+            jax.jit(lambda c, w=w: pack_plane_shift(c, w))(
+                jnp.asarray(coeffs)
+            )
+        )
+        ref = _unpack_plane_shift_numpy(packed, shape, w)
+        nat = wire_native.unpack_plane(packed, shape, w)
+        assert nat is not None
+        np.testing.assert_array_equal(nat, ref)

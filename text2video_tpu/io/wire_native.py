@@ -64,12 +64,44 @@ def _load() -> Optional[ctypes.CDLL]:
         _F32P, _F32P, ctypes.c_int, ctypes.c_int,
         _U8P, ctypes.c_int64, _I64P,
     ]
+    if hasattr(lib, "t2v_wire_unpack"):  # older cached .so lacks it
+        lib.t2v_wire_unpack.restype = ctypes.c_int
+        lib.t2v_wire_unpack.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int, ctypes.c_int, _I8P,
+        ]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def unpack_plane(buf: np.ndarray, shape, w_ac: int):
+    """Native bit-plane unpack of the per-block-shift packed wire
+    (ops/dct.py::pack_plane_shift layout) -> int8 coefficient array of
+    ``shape``. Returns None when the native library (or the symbol, for
+    stale cached builds) is unavailable — callers fall back to the
+    numpy unpack."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "t2v_wire_unpack"):
+        return None
+    k = int(shape[-1])
+    n_blocks = 1
+    for d in shape[:-1]:
+        n_blocks *= int(d)
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty((n_blocks, k), np.int8)
+    rc = lib.t2v_wire_unpack(
+        buf.ctypes.data_as(_U8P),
+        ctypes.c_int64(n_blocks),
+        ctypes.c_int(k),
+        ctypes.c_int(w_ac),
+        out.ctypes.data_as(_I8P),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(shape)
 
 
 def _prep(yq: np.ndarray, uq: np.ndarray, vq: np.ndarray, quality: int):

@@ -260,7 +260,27 @@ def unpack_plane_shift_np(
     """Host unpack: flat uint8 -> [..., Hb, Wb, k] int8 in the same
     quantized-coefficient domain as the unpacked wire (ACs carry the
     block shift back in: value << s, max 120, fits int8) — drop-in for
-    decode_plane_np and the native codec."""
+    decode_plane_np and the native codec.
+
+    Dispatches to the native codec's bit-plane unpack when built
+    (native/wire/wire.cc::t2v_wire_unpack — the host here is a single
+    core, so cycles on the transfer path are wall seconds);
+    ``_unpack_plane_shift_numpy`` is the reference implementation and
+    the fallback, pinned equal by tests/test_wire_native.py."""
+    try:
+        from text2video_tpu.io import wire_native
+
+        out = wire_native.unpack_plane(buf, shape, w_ac)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return _unpack_plane_shift_numpy(buf, shape, w_ac)
+
+
+def _unpack_plane_shift_numpy(
+    buf: np.ndarray, shape, w_ac: int
+) -> np.ndarray:
     k = shape[-1]
     n = int(np.prod(shape[:-1]))
     m = -(-n // 8)
