@@ -284,23 +284,35 @@ def test_jacobi_decode_pipeline(tmp_path):
 
 
 def test_jacobi_bf16_divergence_bounded():
-    """Production-dtype (bfloat16) scan vs Jacobi at full sweeps: the
-    divergence is compile-level rounding amplified by the recurrence
-    (see test_jacobi_decode_pipeline docstring). This pins the two
-    structural guarantees that hold regardless: the early prefix is
+    """Production-dtype (bfloat16) scan vs Jacobi at full sweeps, SAME
+    conv lowering on both sides (fused_batch off): the divergence is
+    compile-level rounding amplified by the recurrence (see
+    test_jacobi_decode_pipeline docstring). This pins the two
+    structural guarantees that hold in that regime: the early prefix is
     uint8-tight (the amplification needs frames to compound), and the
     whole-clip error stays bounded even on worst-case random weights —
     trained weights measure 42 dB at 2 sweeps (tools/jacobi_quality.py,
-    README measured table)."""
+    README measured table). With the default fused batch path the
+    scan (XLA convs) and Jacobi (Pallas convs) are DIFFERENT bf16
+    lowerings, whose per-op rounding compounds through ~20 normalized
+    layers on random weights — even frame 0 diverges by >100 levels —
+    so cross-lowering fidelity is a trained-weights measurement, not a
+    random-weight assertion (test_fused_resblock_matches_plain bounds
+    the per-block difference)."""
+    import dataclasses
+
     from text2video_tpu.config import RenderConfig
     from text2video_tpu.render import Renderer
 
     rng = np.random.RandomState(0)
     t = 18
     labels = rng.randint(0, 256, size=(t, 128, 192, 3), dtype=np.uint8)
-    r = Renderer.create(
-        config=RenderConfig(load_size=128),
-        height=128, width=192, base_ch=4, n_blocks=1,
+    r = dataclasses.replace(
+        Renderer.create(
+            config=RenderConfig(load_size=128),
+            height=128, width=192, base_ch=4, n_blocks=1,
+        ),
+        fused_batch=False,
     )
     r.time_bucket = 32
     seq = r.render(labels)

@@ -48,26 +48,31 @@ if [ ! -d checkpoints/xuesong_512_recon ]; then
   cp -r checkpoints/xuesong_512 checkpoints/xuesong_512_recon
 fi
 
-# ---- Stage 2: adversarial finetune in 4 selectable segments --------------
-for seg in 1 2 3 4; do
-  steps=$((1200 + seg * 150))
+# ---- Stage 2: adversarial finetune in selectable segments ----------------
+# NOTE: --steps is RELATIVE (run N more steps from the resumed
+# checkpoint); with save_every=200 the Orbax keeper retains the last 3
+# step dirs, so 3 segments of 200 steps give candidates at 1400 / 1600
+# / 1800 alongside the 1200-step recon baseline.
+for seg in 1400 1600 1800; do
   snap=checkpoints/xuesong_512_adv$seg
   if [ ! -d "$snap" ]; then
-    log "stage 2: adv segment $seg (to step $steps)"
+    log "stage 2: adv segment to step $seg"
     while true; do
       python -u -m text2video_tpu.cli train-gan "${train_args[@]}" \
         --lambda-adv 0.5 --d-lr-scale 0.25 --lr 1e-4 \
-        --steps $steps --sample-every 150 \
+        --steps 200 --sample-every 200 \
         >> checkpoints/xuesong_512/train_adv.log 2>&1
       rc=$?; log "adv seg $seg rc=$rc"; [ $rc -ne 3 ] && break; log "resume..."
     done
-    cp -r checkpoints/xuesong_512 "$snap"
+    mkdir -p "$snap"
+    cp checkpoints/xuesong_512/config.json "$snap"/
+    cp -r "checkpoints/xuesong_512/step_0000$seg" "$snap"/
   fi
 done
 
 # ---- Stage 3: eval every candidate on the holdout ------------------------
-for ck in xuesong_512_recon xuesong_512_adv1 xuesong_512_adv2 \
-          xuesong_512_adv3 xuesong_512_adv4; do
+for ck in xuesong_512_recon xuesong_512_adv1400 xuesong_512_adv1600 \
+          xuesong_512_adv1800; do
   if [ ! -s out/eval_r5_${ck}_holdout.json ]; then
     log "stage 3: eval $ck"
     timeout 2400 python tools/eval_gan.py --ckpt checkpoints/$ck \
@@ -84,8 +89,8 @@ if [ ! -s out/xuesong_r5_select.json ]; then
   log "stage 4: select on mouth PSNR (whole-frame non-regression)"
   python - <<'PYEOF' | tee out/xuesong_r5_select.json
 import json
-cands = ["xuesong_512_recon", "xuesong_512_adv1", "xuesong_512_adv2",
-         "xuesong_512_adv3", "xuesong_512_adv4"]
+cands = ["xuesong_512_recon", "xuesong_512_adv1400",
+         "xuesong_512_adv1600", "xuesong_512_adv1800"]
 rows = {c: json.load(open(f"out/eval_r5_{c}_holdout.json")) for c in cands}
 base = rows["xuesong_512_recon"]
 best, why = None, None
