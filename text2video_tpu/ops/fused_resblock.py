@@ -36,23 +36,48 @@ import jax
 import jax.numpy as jnp
 
 
-def _pick_tile(h: int) -> int:
-    """Largest row-tile <= 16 dividing h (h is a multiple of 8 for all
-    supported load sizes: 48, 64, 112...)."""
+def _pick_tile(h: int, w: int, c: int, elt: int) -> int:
+    """Largest row-tile dividing h whose kernel VMEM footprint fits
+    well under the 16 MiB scoped budget. Resident per grid step: the
+    DMA'd input tile ((th+2)(w+2)c), the weights (9c^2), the f32
+    accumulator (th*w*c*4) and the double-buffered output block
+    (2*th*w*c*elt — Mosaic pipelines outputs, which an earlier
+    full-input-residency version of this kernel did not account for
+    and OOM'd at the 896-wide xuesong shape: 18.97M > 16M)."""
+    budget = 12 * 1024 * 1024
     for th in (16, 12, 8, 4, 2, 1):
-        if h % th == 0:
+        if h % th:
+            continue
+        need = (
+            (th + 2) * (w + 2) * c * elt
+            + 9 * c * c * elt
+            + th * w * c * 4
+            + 2 * th * w * c * elt
+        )
+        if need <= budget:
             return th
     return 1
 
 
-def _conv_kernel(xp_ref, k_ref, b_ref, y_ref, part_ref, *, th, w, c,
-                 out_dtype):
+def _conv_kernel(xp_hbm, k_ref, b_ref, y_ref, part_ref, scratch, sem, *,
+                 th, w, c, out_dtype):
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    # Input stays in HBM (batch rides the grid — vmap cannot batch an
+    # ANY-space operand); copy this tile's th+2 rows (row halo
+    # included) into the VMEM scratch. The copy is microseconds against
+    # the tile's ~th*w*c*c*18 FLOP of MXU work.
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[bi, pl.ds(i * th, th + 2)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
     acc = jnp.zeros((th * w, c), jnp.float32)
     for dy in range(3):
-        rows = xp_ref[pl.ds(i * th + dy, th), :, :]  # [th, w+2, c]
+        rows = scratch[pl.ds(dy, th), :, :]  # [th, w+2, c]
         for dx in range(3):
             xs = rows[:, dx : dx + w, :].reshape(th * w, c)
             acc = acc + jax.lax.dot_general(
@@ -62,45 +87,50 @@ def _conv_kernel(xp_ref, k_ref, b_ref, y_ref, part_ref, *, th, w, c,
                 preferred_element_type=jnp.float32,
             )
     acc = acc + b_ref[0][None, :]
-    y_ref[:] = acc.reshape(th, w, c).astype(out_dtype)
-    part_ref[0, 0, :] = jnp.sum(acc, axis=0)
-    part_ref[0, 1, :] = jnp.sum(acc * acc, axis=0)
+    y_ref[0] = acc.reshape(th, w, c).astype(out_dtype)
+    part_ref[0, 0, 0, :] = jnp.sum(acc, axis=0)
+    part_ref[0, 0, 1, :] = jnp.sum(acc * acc, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3x3_stats_single(xp, k, b, *, interpret: bool):
-    """xp [H+2, W+2, C] (compute dtype), k [3, 3, C, C] (compute dtype),
-    b [1, C] f32 -> (y [H, W, C] compute dtype, parts [T, 2, C] f32)."""
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _conv3x3_stats_batched(xp, k, b, *, w: int, interpret: bool):
+    """xp [B, H+2, >=W+2, C] (compute dtype, W axis 8-aligned), k
+    [3, 3, C, C] (compute dtype), b [1, C] f32 -> (y [B, H, W, C]
+    compute dtype, parts [B, T, 2, C] f32). Batch rides the leading
+    grid axis."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    hp, wp, c = xp.shape
-    h, w = hp - 2, wp - 2
-    th = _pick_tile(h)
+    bsz, hp, wp, c = xp.shape
+    h = hp - 2
+    th = _pick_tile(h, w, c, xp.dtype.itemsize)
     n_tiles = h // th
     kernel = functools.partial(
         _conv_kernel, th=th, w=w, c=c, out_dtype=xp.dtype
     )
     return pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(bsz, n_tiles),
         in_specs=[
-            pl.BlockSpec((hp, wp, c), lambda i: (0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # HBM; DMA'd per tile
+            pl.BlockSpec((3, 3, c, c), lambda bi, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((th, w, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, th, w, c), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 2, c), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((h, w, c), xp.dtype),
-            jax.ShapeDtypeStruct((n_tiles, 2, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, h, w, c), xp.dtype),
+            jax.ShapeDtypeStruct((bsz, n_tiles, 2, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wp, c), xp.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, k, b)
@@ -120,13 +150,18 @@ def conv3x3_stats(
     xp = jnp.pad(
         x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
     )
+    # Mosaic DMAs slice the HBM array along the sublane-tiled W axis,
+    # which must be 8-aligned (measured: "Slice shape along dimension 2
+    # must be aligned to tiling (8), but is 114" at the 896-wide
+    # shape); pad W+2 up with zero columns the window loop never reads.
+    wpad = (-(w + 2)) % 8
+    if wpad:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wpad), (0, 0)))
     kc = k.astype(x.dtype)
     b2 = b.reshape(1, c).astype(jnp.float32)
-
-    def one(xp_i):
-        return _conv3x3_stats_single(xp_i, kc, b2, interpret=interpret)
-
-    y, parts = jax.vmap(one)(xp)
+    y, parts = _conv3x3_stats_batched(
+        xp, kc, b2, w=w, interpret=interpret
+    )
     n = float(h * w)
     s1 = jnp.sum(parts[:, :, 0, :], axis=1)
     s2 = jnp.sum(parts[:, :, 1, :], axis=1)

@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--keypoints", required=True)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=384)
+    p.add_argument("--source-width", type=int, default=None,
+                   help="resolution the keypoints were annotated at")
+    p.add_argument("--source-height", type=int, default=None)
     p.add_argument("--split", choices=["holdout", "train", "all"],
                    default="holdout")
     p.add_argument("--sweeps", default="1,2,3,4")
@@ -42,6 +45,10 @@ def main() -> None:
         images_dir=args.images,
         keypoints_dir=args.keypoints,
         canvas=(args.width, args.height),
+        source_canvas=(
+            (args.source_width, args.source_height)
+            if args.source_width else None
+        ),
         clip_len=args.clip_len,
         max_t_step=1,
         cache_labels=False,
@@ -63,9 +70,11 @@ def main() -> None:
         return 10 * np.log10(255.0**2 / max(mse, 1e-12))
 
     out = {}
+    out_real = {}
     for k in (int(s) for s in args.sweeps.split(",") if s):
         jac = renderer.render_jacobi(labels, sweeps=k)
         out[str(k)] = round(psnr(scan, jac), 2)
+        out_real[str(k)] = round(psnr(jac, reals), 2)
 
     # Ground-truth anchor: how far the exact scan itself is from the
     # real frames — Jacobi error only matters relative to model error.
@@ -73,6 +82,7 @@ def main() -> None:
         json.dumps(
             {
                 "psnr_vs_scan": out,
+                "psnr_vs_real": out_real,
                 "scan_vs_real_psnr": round(psnr(scan, reals), 2),
                 "split": args.split,
                 "frames": int(labels.shape[0]),
