@@ -27,7 +27,12 @@ import numpy as np
 
 BASELINE_FPS = 25.0  # real-time at the reference's output frame rate
 H, W = 384, 512
-T = 64
+# 256 frames ~= a 10 s utterance at 25 fps — representative of the
+# reference's real workload (<=1200-frame runs) and long enough to
+# amortize the per-chunk tunnel dispatch at the throughput-optimal
+# 128-frame chunk (measured: 5.55 ms/frame @32 -> 4.83 @128,
+# out/mfu_probe_chunk128.json).
+T = 256
 TIMED_RUNS = 3
 # TPU v5e (v5 lite) peak dense bf16 throughput per chip.
 V5E_BF16_PEAK_FLOPS = 197e12
@@ -92,6 +97,7 @@ def _gen_bench(batch: int, with_extras: bool = False) -> None:
     from text2video_tpu.render import Renderer
 
     renderer = Renderer.create(height=H, width=W)
+    renderer.time_bucket = 128  # throughput config (see T above)
     fps = _measure_gen(renderer, batch)
     frame_flops = _analytic_frame_flops(H, W)
 
@@ -113,6 +119,9 @@ def _gen_bench(batch: int, with_extras: bool = False) -> None:
         # throughput/MFU config. Report both on the one driver-visible
         # line; a tunnel hiccup in the extra must not kill the primary.
         try:
+            # batch-4 runs 64-frame chunks: the 9-channel label context
+            # at batch 4 x chunk 128 would be ~5.4 GB of HBM.
+            renderer.time_bucket = 64
             fps4 = _measure_gen(renderer, 4)
             line["batch4"] = {
                 "fps": round(fps4, 2),
@@ -172,7 +181,7 @@ def _jacobi_bench(sweeps: int) -> None:
     )
 
 
-def _e2e_bench(load_size: int = 0) -> None:
+def _e2e_bench(load_size: int = 0, bucket: int = 0) -> None:
     """Full pipeline on a ~10 s utterance, warm wall clock vs real time.
 
     load_size > 0 measures a square canvas of that size (512 = the
@@ -217,9 +226,12 @@ def _e2e_bench(load_size: int = 0) -> None:
         profile = dataclasses.replace(profile, canvas=(w, h))
 
     with tempfile.TemporaryDirectory() as tmp:
+        renderer = Renderer.create(height=h, width=w)
+        if bucket:
+            renderer.time_bucket = bucket
         pipe = Text2VideoPipeline(
             PipelineConfig(person=profile, out_dir=tmp),
-            renderer=Renderer.create(height=h, width=w),
+            renderer=renderer,
             aligner=aligner,
         )
         res = aligner.align(audio, text)
@@ -263,6 +275,8 @@ def main() -> None:
     parser.add_argument(
         "--mode", choices=["gen", "e2e", "batch", "jacobi"], default="gen"
     )
+    parser.add_argument("--bucket", type=int, default=0,
+                        help="e2e mode: override renderer.time_bucket")
     parser.add_argument("--sweeps", type=int, default=2)
     parser.add_argument(
         "--load-size", type=int, default=None,
@@ -277,7 +291,7 @@ def main() -> None:
     elif args.mode == "jacobi":
         _jacobi_bench(args.sweeps)
     else:
-        _e2e_bench(load_size=args.load_size or 0)
+        _e2e_bench(load_size=args.load_size or 0, bucket=args.bucket)
 
 
 if __name__ == "__main__":
