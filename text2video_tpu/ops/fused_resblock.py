@@ -9,9 +9,11 @@ batch-1 lowering space-to-batches each conv and materializes an
 (out/hlo_r4c, the [50,4,8,11,512] copies) — the measured reason the
 forward sits at ~39% MFU against an 88% roofline.
 
-The kernel reads the reflect-padded activation ONCE into VMEM, runs the
-conv as nine static-shift [TH*W, C] @ [C, C] MXU contractions with
-float32 accumulation, adds the bias, and emits
+The kernel keeps the reflect-padded activation in HBM and DMAs each
+grid step's row tile (with its 1-row halo) into a VMEM scratch — full
+VMEM residency OOM'd the 16 MiB scoped budget at the 896-wide xuesong
+trunk — then runs the conv as nine static-shift [TH*W, C] @ [C, C] MXU
+contractions with float32 accumulation, adds the bias, and emits
 
   * the conv output in the compute dtype, and
   * per-row-tile partial sums (sum, sum of squares) per channel,
