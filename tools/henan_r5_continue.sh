@@ -11,7 +11,10 @@ HKP='/root/reference/*pinyin_data/henan/keypoints_henan'
 AUD=/root/reference/input_audio/henan
 log() { echo "[henan-r5b $(date +%H:%M:%S)] $*"; }
 
-while pgrep -f "text2video_tpu.cli train-gan" > /dev/null 2>&1; do
+# Anchored ps check: a plain pgrep -f self-matched the launcher shell
+# whose cmdline embeds this script's text (the exact failure mode
+# CLAUDE.md warns about); the bracket breaks the self-match.
+while ps -eo cmd | grep -qE "^python -u -m text2video_tpu[.]cli train-gan"; do
   sleep 60
 done
 log "recon trainer exited"
